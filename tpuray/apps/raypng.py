@@ -1,0 +1,79 @@
+"""Offline renderer CLI — the ``raypng`` equivalent (raypng.c:11-106).
+
+Loads a scene archive, renders with the reference camera (raypng.c:17-21),
+reports wall-clock + Mrays/s (the reference prints "Done, took: N ms",
+raypng.c:92-96), writes a PNG, and can diff against the committed golden
+image.
+
+    python -m tpuray.apps.raypng [--scene scenes/render.map] [--out out/scene.png]
+        [--width 800 --height 600] [--depth 15] [--compare-golden]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..camera import Camera
+from ..config import (GOLDEN_CAMERA_FOCAL, GOLDEN_CAMERA_FOV,
+                      GOLDEN_CAMERA_LOOKDIR, GOLDEN_CAMERA_ORIGIN,
+                      RenderConfig)
+from ..io import GOLDEN_PNG, image_diff_stats, read_png, write_png
+from ..render import render_u8
+from ..sceneio import load_scene
+from ..textures import load_default_assets
+from ..utils.metrics import RenderReport
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="/root/reference/scenes/render.map")
+    ap.add_argument("--out", default="out/scene.png")
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--depth", type=int, default=15)
+    ap.add_argument("--shadow-samples", type=int, default=2)
+    ap.add_argument("--chunk-size", type=int, default=65536)
+    ap.add_argument("--compare-golden", action="store_true",
+                    help="diff the output against the reference's committed "
+                         "out/scene.png")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="timed re-renders after the compile pass")
+    args = ap.parse_args(argv)
+
+    scene = load_scene(args.scene).to_scene()
+    assets = load_default_assets()
+    cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR,
+                 GOLDEN_CAMERA_FOV, GOLDEN_CAMERA_FOCAL)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_depth=args.depth,
+                       shadow_samples=args.shadow_samples,
+                       chunk_size=args.chunk_size)
+
+    t0 = time.perf_counter()
+    img = render_u8(scene, assets, cam, cfg)
+    compile_s = time.perf_counter() - t0
+
+    best = compile_s
+    for _ in range(max(0, args.repeat - 1)):
+        t0 = time.perf_counter()
+        img = render_u8(scene, assets, cam, cfg)
+        best = min(best, time.perf_counter() - t0)
+
+    report = RenderReport(width=cfg.width, height=cfg.height,
+                          max_depth=cfg.max_depth, seconds=best,
+                          compile_seconds=compile_s)
+    print(report)
+    print(f"Done, took: {best * 1000.0:.0f} ms")  # raypng.c:96 format
+
+    import os
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    write_png(args.out, img)
+    print(f"wrote {args.out}")
+
+    if args.compare_golden:
+        stats = image_diff_stats(img, read_png(GOLDEN_PNG))
+        print(f"golden diff: {stats}")
+
+
+if __name__ == "__main__":
+    main()

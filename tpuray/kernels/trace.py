@@ -430,22 +430,29 @@ def _stack_get(arr, lvl):
 def _init_state(o, d, pixel_ids, cfg: RenderConfig) -> TraceState:
     p = o.shape[0]
     depth = cfg.max_depth
-    z3 = jnp.zeros((p, 3), F32)
+    # every per-lane zero derives from the (possibly manually-sharded) ray
+    # inputs, so the scan carry has consistent varying-axis types under
+    # shard_map (a plain jnp.zeros literal would be typed as replicated)
+    z3 = o.astype(F32) * F32(0.0)                    # [P, 3]
+    z1 = jnp.sum(z3, axis=-1)                        # [P]
+    zi = z1.astype(I32)
+    zd3 = jnp.broadcast_to(z3[None], (depth, p, 3))  # [D, P, 3]
+    zd1 = jnp.broadcast_to(z1[None], (depth, p))
     return TraceState(
         o=o.astype(F32), d=d.astype(F32), c=z3,
-        dep=jnp.zeros((p,), I32),
-        f=jnp.ones((p,), F32),
-        n1=jnp.full((p,), F32(cfg.default_n)),
-        sp=jnp.ones((p,), I32),
+        dep=zi,
+        f=z1 + F32(1.0),
+        n1=z1 + F32(cfg.default_n),
+        sp=zi + I32(1),
         rng=pixel_ids.astype(jnp.uint32),
-        done=jnp.zeros((p,), bool),
+        done=zi != 0,
         result=z3,
-        s_o=jnp.zeros((depth, p, 3), F32),
-        s_d=jnp.zeros((depth, p, 3), F32),
-        s_c=jnp.zeros((depth, p, 3), F32),
-        s_dep=jnp.zeros((depth, p), I32),
-        s_f=jnp.zeros((depth, p), F32),
-        s_n=jnp.zeros((depth, p), F32),
+        s_o=zd3,
+        s_d=zd3,
+        s_c=zd3,
+        s_dep=zd1.astype(I32),
+        s_f=zd1,
+        s_n=zd1,
         it=jnp.zeros((), I32),
     )
 
@@ -467,10 +474,13 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
     is_solid = do_work & ~light_hit & solid_hit
 
     # skybox gather only when some lane missed (it is the big 50 MB gather)
+    # both branches derive from st.d so their outputs carry identical
+    # varying-axis types under shard_map manual sharding
     sky = jax.lax.cond(
         jnp.any(is_miss),
-        lambda: sample_skybox(assets.skybox, st.d),
-        lambda: jnp.zeros_like(st.c))
+        lambda d_: sample_skybox(assets.skybox, d_),
+        lambda d_: d_ * F32(0.0),
+        st.d)
 
     # --- accumulate color in the reference's addition order ---
     c2 = st.c + jnp.where(is_light[:, None], st.f[:, None] * light_color, 0.0)
@@ -497,7 +507,10 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
                                 lrad * jnp.cos(phi)], axis=-1)
             sample = lo[None, :] + offset
             soft = soft + test_shadow(scene, sample, point, cfg)
-        ssr = soft / F32(cfg.shadow_samples)
+        # shadow_samples == 0 -> unshadowed direct lighting (smooth; used by
+        # gradient tests and the BASELINE "diffuse only" staged config)
+        ssr = (soft / F32(cfg.shadow_samples) if cfg.shadow_samples
+               else soft + F32(1.0))
         dd = pr.distance3(lo[None, :], point)
         dd = jnp.where(dd > 0, dd, 1.0)
         # ((rgb*I)*(1/pi)) * 1/(d*d), then *= ssr  (raytracing.cl:118-120)

@@ -1,0 +1,158 @@
+"""Multi-chip SPMD rendering: pixel-tile sharding over a device Mesh.
+
+The reference's only parallelism is a single-device 1-D NDRange with one
+work-item per pixel (opencl_wrap.c:368-374, raygen.cl:10).  The TPU-native
+generalization (SURVEY.md §2 parallelism table):
+
+* **Forward**: the image is sharded by pixel blocks across a 1-D ``Mesh``
+  axis ``"tiles"`` via ``shard_map`` — the renderer's data/context
+  parallelism.  Rays are independent, the scene is tiny and replicated, so
+  the forward pass needs **zero** cross-chip communication.
+* **Backward**: every chip's pixels contribute gradients to the *same*
+  shared scene parameters, so the backward pass ends in one
+  ``jax.lax.psum`` of the scene-gradient pytree over the mesh — the
+  renderer's gradient all-reduce.  XLA schedules it after the local
+  backward compute; on hardware it rides ICI.
+
+Works unchanged on a real TPU slice or on N virtual CPU devices
+(``--xla_force_host_platform_device_count``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import diff
+from ..camera import PerspectiveBasis, generate_rays
+from ..config import RenderConfig
+from ..kernels.trace import trace_rays
+from ..scene import Scene
+from ..textures import SceneAssets
+
+AXIS = "tiles"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def _pad_pixels(n_pix: int, n_shards: int) -> int:
+    per = -(-n_pix // n_shards)
+    return per * n_shards
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sharded(scene: Scene, assets: SceneAssets, basis: PerspectiveBasis,
+                   cfg: RenderConfig, mesh: Mesh) -> jnp.ndarray:
+    """Forward render with the pixel dimension sharded over ``mesh``.
+
+    Returns float32 linear rgb [H, W, 3] (replicated output).
+    """
+    n = mesh.devices.size
+    n_pix = cfg.num_pixels
+    padded = _pad_pixels(n_pix, n)
+
+    origins, dirs = generate_rays(basis, cfg.width, cfg.height)
+    ids = jnp.arange(n_pix, dtype=jnp.uint32)
+    pad = padded - n_pix
+    origins = jnp.pad(origins, ((0, pad), (0, 0)))
+    dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+    # padded lanes trace a throwaway ray (dir 0 -> miss), masked out below
+    ids = jnp.pad(ids, (0, pad))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None), P(None), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS))
+    def shard_trace(scene_, assets_, o, d, pid):
+        return trace_rays(scene_, assets_, o, d, pid, cfg)
+
+    rgb = shard_trace(scene, assets, origins, dirs, ids)
+    return rgb[:n_pix].reshape(cfg.height, cfg.width, 3)
+
+
+def _local_loss(scene: Scene, assets: SceneAssets, o, d, pid, target,
+                cfg: RenderConfig):
+    rgb = trace_rays(scene, assets, o, d, pid, cfg)
+    return jnp.sum((rgb - target) ** 2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def loss_and_scene_grad_sharded(
+        scene: Scene, assets: SceneAssets, basis: PerspectiveBasis,
+        target: jnp.ndarray, cfg: RenderConfig,
+        mesh: Mesh) -> Tuple[jnp.ndarray, Scene]:
+    """L2 image loss + gradient w.r.t. every float leaf of ``scene``,
+    computed with pixels sharded over the mesh and one psum of the scene
+    gradients (the renderer's gradient all-reduce).
+
+    ``target`` is [H*W, 3] float32 linear rgb.  Requires cfg.loop == 'scan'
+    (the reverse-differentiable trace).
+    """
+    n = mesh.devices.size
+    n_pix = cfg.num_pixels
+    padded = _pad_pixels(n_pix, n)
+    pad = padded - n_pix
+
+    origins, dirs = generate_rays(basis, cfg.width, cfg.height)
+    origins = jnp.pad(origins, ((0, pad), (0, 0)))
+    dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+    ids = jnp.pad(jnp.arange(n_pix, dtype=jnp.uint32), (0, pad))
+    # padded lanes: target == render of the zero-dir ray is NOT guaranteed;
+    # kill their loss contribution by matching target to the traced value.
+    target = jnp.pad(target.reshape(-1, 3), ((0, pad), (0, 0)))
+    valid = (jnp.arange(padded) < n_pix).astype(jnp.float32)[:, None]
+
+    def local_loss(scene_, assets_, o, d, pid, tgt, val):
+        rgb = trace_rays(scene_, assets_, o, d, pid, cfg)
+        return jnp.sum(val * (rgb - tgt) ** 2)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None), P(None), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS)),
+        out_specs=(P(), P()))
+    def shard_grad(scene_, assets_, o, d, pid, tgt, val):
+        loss, g = diff.value_and_scene_grad(
+            local_loss, scene_, assets_, o, d, pid, tgt, val)
+        # the gradient all-reduce: every chip's pixels -> shared scene params
+        return (jax.lax.psum(loss, AXIS),
+                jax.tree.map(lambda x: jax.lax.psum(x, AXIS), g))
+
+    return shard_grad(scene, assets, origins, dirs, ids, target, valid)
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one sharded forward and one sharded forward+grad
+    step over an ``n_devices`` mesh on tiny shapes (driver hook)."""
+    from ..camera import Camera, perspective_basis
+    from ..config import (GOLDEN_CAMERA_LOOKDIR, GOLDEN_CAMERA_ORIGIN)
+    from ..scene import canonical_scene_spec
+    from ..textures import solid_assets
+
+    mesh = make_mesh(n_devices)
+    scene = canonical_scene_spec().to_scene()
+    assets = solid_assets()
+    cfg = RenderConfig(width=32, height=16, max_depth=2, chunk_size=0,
+                       loop="scan", scan_iters=10)
+    cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR, 90.0, 1.0)
+    basis = perspective_basis(cam, cfg.width, cfg.height)
+
+    img = render_sharded(scene, assets, basis, cfg, mesh)
+    img.block_until_ready()
+    assert img.shape == (cfg.height, cfg.width, 3)
+
+    target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    loss, grads = loss_and_scene_grad_sharded(scene, assets, basis, target,
+                                              cfg, mesh)
+    loss.block_until_ready()
+    assert np.isfinite(float(loss))

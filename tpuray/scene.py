@@ -232,8 +232,11 @@ def build_scene(spec: SceneSpec) -> Scene:
 def canonical_scene_spec() -> SceneSpec:
     """The canonical demo scene, value-for-value from scene_dump.c:8-69.
 
-    Writing this with :func:`tpuray.sceneio.dump_scene` reproduces the
-    committed ``scenes/render.map`` byte-exactly.
+    Writing this with :func:`tpuray.sceneio.dump_scene` reproduces every
+    meaningful byte of the committed ``scenes/render.map``; the only
+    differing bytes (19 of 723) are struct-padding regions where the
+    reference fwrites uninitialized stack memory (cpu_obj.c:51-74 writes raw
+    structs), which we zero.
     """
     spheres = [
         SphereSpec((4.5, 0.5, -1.0), 0.5,
