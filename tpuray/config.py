@@ -39,6 +39,33 @@ class RenderConfig:
     loop: str = "while"
     # Iteration count for loop='scan'.  0 = auto (2 * 2^max_depth, capped).
     scan_iters: int = 0
+    # Rendering engine: 'pallas' = tile megakernel (fastest forward path),
+    # 'xla' = the whole-image while/scan tracer (differentiable, supports
+    # triangles), 'auto' = pallas when supported else xla.
+    engine: str = "auto"
+    # Deferred texel-event slots per pixel in the Pallas engine (sky + plane
+    # texture contributions resolved by one gather outside the kernel).
+    # 0 = auto: exact bound 2^(depth+1)-1 for shallow traces, capped at 16
+    # (the kernel reports overflow; raise for pathological scenes).
+    event_slots: int = 0
+
+    def resolved_event_slots(self) -> int:
+        if self.event_slots:
+            return self.event_slots
+        return min(2 ** (self.max_depth + 1) - 1, 24)
+
+    # --- active-lane compaction (XLA 'while' engine) ---
+    # After `compact_after` full-width DFS steps (which finish the bulk of
+    # lanes), still-active lanes are repeatedly gathered into a buffer of
+    # `P * compact_frac` lanes and advanced `compact_steps` steps at a time.
+    # Exact per-lane semantics (incl. RNG sequence) are preserved — only
+    # the schedule changes.  compact_frac = 0 (default) disables compaction:
+    # on backends with high per-op dispatch overhead the gather/scatter
+    # rounds cost more than the masked-lane waste they save; enable on
+    # backends where vector work, not op count, dominates.
+    compact_after: int = 3
+    compact_frac: float = 0.0
+    compact_steps: int = 8
 
     @property
     def num_pixels(self) -> int:

@@ -1,0 +1,833 @@
+"""Pallas TPU megakernel: the full Whitted DFS per pixel tile.
+
+The performance engine.  One kernel instance owns a (SUBLANES x 128) block
+of pixels and runs the reference's complete per-pixel traversal
+(raytracing.cl:14-195) — primary-ray generation (raygen.cl:5-25), the
+depth-first reflect/refract stack machine, Phong direct lighting with
+xorshift32 soft shadows — to completion in VMEM registers, with lane-wise
+masks in place of the reference's branches.  Tiles exit their loop as soon
+as *their* worst lane finishes, which is what the whole-image XLA while-loop
+cannot do: straggler pixels (glass/mirror chains) only stall their own
+16x128 neighborhood.
+
+Design constraints that shaped this kernel (see /opt/skills/guides/
+pallas_guide.md):
+
+* No general gather in VMEM -> data-dependent texel fetches (plane textures,
+  the 50 MB skybox cross) cannot run in-kernel.  Both are *terminal additive*
+  contributions in the reference shading model — material rgb only ever
+  multiplies the ambient term (raytracing.cl:83-84), and sky radiance ends a
+  chain (raytracing.cl:61-81) — so the kernel instead emits bounded
+  per-lane (flat_texel_index, weight) **event records**, and one XLA gather
+  outside the kernel resolves them against a packed u32 atlas
+  (textures ++ skybox).  Everything else (light-hit colors, untextured
+  ambient, diffuse/specular, Schlick, refraction) is computed in-kernel via
+  one-hot contractions over the tiny primitive tables.
+* Scene + camera basis live in SMEM as one flat f32 "uniform" array --
+  value changes (camera motion, scene optimization) re-invoke the same
+  executable, like the reference re-binding 6 camera scalars per keypress
+  (rayinteractive.c:98-103).
+* The per-lane ray stack ((max_depth, S, 128) register arrays) is
+  indexed with one-hot selects over the depth axis, the Pallas analog of
+  trace.py's _stack_set/_stack_get.
+
+Event capacity: a depth-D DFS visits at most 2^(D+1)-1 nodes and each step
+emits at most one event, so K = 2^(D+1)-1 is exact for shallow depths; for
+deep traces K is capped and an overflow counter is returned (overflowed
+events drop terminal contributions with tiny throughput; the golden-parity
+path uses the XLA tracer).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera import PerspectiveBasis
+from ..config import RenderConfig
+from ..scene import Scene
+from ..textures import SceneAssets
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+SUBLANES = 16
+LANES = 128
+TILE = SUBLANES * LANES
+
+EV_NONE = np.int32(-1)
+
+
+# ---------------------------------------------------------------------------
+# uniform packing: scene + camera basis -> one flat f32 array (SMEM)
+# ---------------------------------------------------------------------------
+
+class UniformLayout(NamedTuple):
+    """Static offsets into the flat uniform array (python ints, baked into
+    the kernel at trace time; sizes depend only on scene topology)."""
+    n_spheres: int
+    n_planes: int
+    n_lights: int
+    size: int
+    off: dict
+
+
+_MAT_FIELDS = ("rgb0", "rgb1", "rgb2", "ambient", "diffuse", "specular",
+               "shininess", "transparent", "dielectric", "n", "reflectivity",
+               "texture_id", "texture_scale")
+
+
+def uniform_layout(n_spheres: int, n_planes: int, n_lights: int
+                   ) -> UniformLayout:
+    off = {}
+    cur = 0
+
+    def alloc(name, count):
+        nonlocal cur
+        off[name] = cur
+        cur += count
+
+    alloc("basis", 14)          # corner3, origin3, up3, right3, wf, hf
+    alloc("sph_o", 3 * n_spheres)
+    alloc("sph_r", n_spheres)
+    for f in _MAT_FIELDS:
+        alloc("sph_" + f, n_spheres)
+    alloc("pl_nrm", 3 * n_planes)   # geometry keys distinct from
+    alloc("pl_pt", 3 * n_planes)    # the material field "pl_n" (IoR)
+    for f in _MAT_FIELDS:
+        alloc("pl_" + f, n_planes)
+    alloc("li_o", 3 * n_lights)
+    alloc("li_r", n_lights)
+    alloc("li_i", n_lights)
+    alloc("li_rgb", 3 * n_lights)
+    return UniformLayout(n_spheres, n_planes, n_lights, cur, off)
+
+
+def _mat_values(mat, i):
+    return (mat.rgb[i, 0], mat.rgb[i, 1], mat.rgb[i, 2], mat.ambient[i],
+            mat.diffuse[i], mat.specular[i], mat.shininess[i],
+            mat.transparent[i].astype(F32), mat.dielectric[i].astype(F32),
+            mat.n[i], mat.reflectivity[i], mat.texture_id[i].astype(F32),
+            mat.texture_scale[i])
+
+
+def pack_uniforms(scene: Scene, basis: PerspectiveBasis,
+                  lay: UniformLayout) -> jnp.ndarray:
+    """Flatten scene+basis into the uniform array (pure jnp: differentiable
+    and jit-safe; value changes don't recompile)."""
+    parts = [basis.corner.astype(F32), basis.origin.astype(F32),
+             basis.up.astype(F32), basis.right.astype(F32),
+             jnp.stack([basis.w_factor.astype(F32),
+                        basis.h_factor.astype(F32)])]
+    parts.append(scene.sphere_origin.reshape(-1).astype(F32))
+    parts.append(scene.sphere_radius.astype(F32))
+    sm = scene.sphere_mat
+    for k in range(len(_MAT_FIELDS)):
+        parts.append(jnp.stack([_mat_values(sm, i)[k]
+                                for i in range(lay.n_spheres)]).astype(F32)
+                     if lay.n_spheres else jnp.zeros((0,), F32))
+    parts.append(scene.plane_normal.reshape(-1).astype(F32))
+    parts.append(scene.plane_point.reshape(-1).astype(F32))
+    pm = scene.plane_mat
+    for k in range(len(_MAT_FIELDS)):
+        parts.append(jnp.stack([_mat_values(pm, i)[k]
+                                for i in range(lay.n_planes)]).astype(F32)
+                     if lay.n_planes else jnp.zeros((0,), F32))
+    parts.append(scene.light_origin.reshape(-1).astype(F32))
+    parts.append(scene.light_radius.astype(F32))
+    parts.append(scene.light_intensity.astype(F32))
+    parts.append(scene.light_rgb.reshape(-1).astype(F32))
+    return jnp.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# texel atlas: textures ++ skybox packed as one u32 rgb table
+# ---------------------------------------------------------------------------
+
+class TexelAtlas(NamedTuple):
+    packed: jnp.ndarray   # [M] u32, 0x00RRGGBB
+    tex_h: int
+    tex_w: int
+    n_textures: int
+    sky_base: int         # flat offset of skybox texels
+    sky_h: int
+    sky_w: int
+
+
+def build_atlas(assets: SceneAssets) -> TexelAtlas:
+    tex = assets.textures  # [N, H, W, 3] u8
+    sky = assets.skybox    # [Hs, Ws, 3] u8
+
+    def pack(img):
+        u = img.astype(jnp.uint32)
+        return (u[..., 0] << 16) | (u[..., 1] << 8) | u[..., 2]
+
+    t = pack(tex).reshape(-1)
+    s = pack(sky).reshape(-1)
+    return TexelAtlas(packed=jnp.concatenate([t, s]),
+                      tex_h=tex.shape[1], tex_w=tex.shape[2],
+                      n_textures=tex.shape[0], sky_base=t.shape[0],
+                      sky_h=sky.shape[0], sky_w=sky.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# kernel-side vector helpers ((S,128) register triples)
+# ---------------------------------------------------------------------------
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize(x, y, z):
+    n2 = x * x + y * y + z * z
+    inv = jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0))
+    inv = jnp.where(n2 > 0, inv, 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _xorshift32(state):
+    """xorshift32 (primitives.cl:116-125) on the i32 bit pattern — Mosaic
+    has no u32->f32 convert, so shifts are done signed (<< identical,
+    >> via shift_right_logical) and the float sample rebuilds the unsigned
+    value by adding 2^32 to negative i32s."""
+    x = state
+    x = x ^ (x << np.int32(13))
+    x = x ^ jax.lax.shift_right_logical(x, np.int32(17))
+    x = x ^ (x << np.int32(5))
+    fx = x.astype(F32)
+    fx = jnp.where(fx < 0, fx + np.float32(4294967296.0), fx)
+    # primitives.cl:124 — maps the u32 range onto [0, 4)
+    sample = fx / np.float32(2147483648.0) * np.float32(2.0)
+    return x, sample
+
+
+def _map_to_cube(dx, dy, dz, face: int):
+    """primitives.cl:14-109 on (S,128) registers; returns integer u, v."""
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    fs = np.int32(face)
+    fsf = np.float32(face)
+
+    m = jnp.ones_like(dx)
+    uc = jnp.zeros_like(dx)
+    vc = jnp.zeros_like(dx)
+    su = jnp.zeros_like(dx, I32)
+    sv = jnp.zeros_like(dx, I32)
+
+    def app(cond, mm, u, v, s_u, s_v):
+        nonlocal m, uc, vc, su, sv
+        m = jnp.where(cond, mm, m)
+        uc = jnp.where(cond, u, uc)
+        vc = jnp.where(cond, v, vc)
+        su = jnp.where(cond, np.int32(s_u), su)
+        sv = jnp.where(cond, np.int32(s_v), sv)
+
+    xp, yp, zp = dx > 0, dy > 0, dz > 0
+    app(xp & (ax >= ay) & (ax >= az), ax, -dz, dy, fs * 2, fs)
+    app(~xp & (ax >= ay) & (ax >= az), ax, dz, dy, 0, fs)
+    app(yp & (ay >= ax) & (ay >= az), ay, dx, -dz, fs, fs * 2)
+    app(~yp & (ay >= ax) & (ay >= az), ay, dx, dz, fs, 0)
+    app(zp & (az >= ax) & (az >= ay), az, dx, dy, fs, fs)
+    app(~zp & (az >= ax) & (az >= ay), az, -dx, dy, fs * 3, fs)
+
+    safe = jnp.where(m != 0, m, 1.0)
+    fu = 0.5 * (uc / safe + 1.0)
+    fv = 0.5 * (vc / safe + 1.0)
+    u = su + (fu * fsf).astype(I32)
+    v = sv + (fv * fsf).astype(I32)
+    return u, v
+
+
+def _plane_basis(nx, ny, nz):
+    """primitives.cl:219-235 for scalar plane normal components."""
+    # cross(e_i, n) for i = 0,1,2; pick the first with nonzero comp-sum
+    c0 = (0.0 * nx, -nz, ny)
+    c1 = (nz, 0.0 * nx, -nx)
+    c2 = (-ny, nx, 0.0 * nx)
+    s0 = c0[0] + c0[1] + c0[2]
+    s1 = c1[0] + c1[1] + c1[2]
+
+    b0x = jnp.where(s0 != 0, c0[0], jnp.where(s1 != 0, c1[0], c2[0]))
+    b0y = jnp.where(s0 != 0, c0[1], jnp.where(s1 != 0, c1[1], c2[1]))
+    b0z = jnp.where(s0 != 0, c0[2], jnp.where(s1 != 0, c1[2], c2[2]))
+    # b1 = cross(n, b0)
+    b1x = ny * b0z - nz * b0y
+    b1y = nz * b0x - nx * b0z
+    b1z = nx * b0y - ny * b0x
+    return (b0x, b0y, b0z), (b1x, b1y, b1z)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
+                 width: int, height: int, gx: int):
+    """Builds the tile kernel closure.  All loop bounds / offsets static."""
+    tex_h, tex_w, n_tex, sky_base, sky_h, sky_w = atlas_meta
+    ns, npl, nl = lay.n_spheres, lay.n_planes, lay.n_lights
+    D = cfg.max_depth
+    K = cfg.resolved_event_slots()
+    # numpy scalars: python-level constants folded into the kernel (a
+    # jnp scalar would be a captured traced constant, which pallas rejects)
+    eps = np.float32(cfg.epsilon)
+    through = np.float32(cfg.transparent_through)
+    default_n = np.float32(cfg.default_n)
+    n_samples = cfg.shadow_samples
+    inv_pi = np.float32(1.0 / np.pi)
+    two_pi = np.float32(2.0 * np.pi)
+    pi = np.float32(np.pi)
+
+    def kernel(uni, c_out, ev_idx_out, ev_w_out, over_out):
+        g = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+
+        def u(name, i=0):
+            return uni[lay.off[name] + i]
+
+        # ---- raygen (raygen.cl:10-24) ----
+        srow = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 0)
+        lcol = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 1)
+        row = ty * SUBLANES + srow
+        col = tx * LANES + lcol
+        pid = row * width + col
+        in_image = (row < height) & (col < width)
+
+        wf = u("basis", 12)
+        hf = u("basis", 13)
+        w_scale = wf * col.astype(F32)
+        h_scale = hf * row.astype(F32)
+        vx = u("basis", 0) + u("basis", 9) * w_scale - u("basis", 6) * h_scale
+        vy = u("basis", 1) + u("basis", 10) * w_scale - u("basis", 7) * h_scale
+        vz = u("basis", 2) + u("basis", 11) * w_scale - u("basis", 8) * h_scale
+        dx, dy, dz = _normalize(vx, vy, vz)
+        ox = jnp.full((SUBLANES, LANES), u("basis", 3))
+        oy = jnp.full((SUBLANES, LANES), u("basis", 4))
+        oz = jnp.full((SUBLANES, LANES), u("basis", 5))
+
+        zero = jnp.zeros((SUBLANES, LANES), F32)
+        izero = jnp.zeros((SUBLANES, LANES), I32)
+
+        ev_idx_out[:] = jnp.full((K * SUBLANES, LANES), EV_NONE)
+        ev_w_out[:] = jnp.zeros((K * SUBLANES, LANES), F32)
+
+        # ---- helper queries over the (tiny) primitive tables ----
+        def sphere_t(i, px, py, pz, qx, qy, qz):
+            """intersect_sphere w/ far-root rule (primitives.cl:170-195)."""
+            cx0, cy0, cz0 = u("sph_o", 3 * i), u("sph_o", 3 * i + 1), \
+                u("sph_o", 3 * i + 2)
+            r = u("sph_r", i)
+            vx0, vy0, vz0 = px - cx0, py - cy0, pz - cz0
+            a = _dot(qx, qy, qz, qx, qy, qz)
+            b = 2.0 * _dot(vx0, vy0, vz0, qx, qy, qz)
+            c = _dot(vx0, vy0, vz0, vx0, vy0, vz0) - r * r
+            disc = b * b - 4.0 * a * c
+            has = disc >= 0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            t_near = (-b - sq) / (2.0 * a)
+            t_far = (-b + sq) / (2.0 * a)
+            t = jnp.where(t_near < 0, t_far, t_near)
+            return has & (t > 0), t
+
+        def plane_t(i, px, py, pz, qx, qy, qz):
+            nx, ny, nz = u("pl_nrm", 3 * i), u("pl_nrm", 3 * i + 1), \
+                u("pl_nrm", 3 * i + 2)
+            ppx, ppy, ppz = u("pl_pt", 3 * i), u("pl_pt", 3 * i + 1), \
+                u("pl_pt", 3 * i + 2)
+            b = _dot(qx, qy, qz, nx, ny, nz)
+            safe_b = jnp.where(b == 0, 1.0, b)
+            t = _dot(ppx - px, ppy - py, ppz - pz, nx, ny, nz) / safe_b
+            return (b != 0) & (t > 0), t
+
+        def light_t(i, px, py, pz, qx, qy, qz):
+            cx0, cy0, cz0 = u("li_o", 3 * i), u("li_o", 3 * i + 1), \
+                u("li_o", 3 * i + 2)
+            r = u("li_r", i)
+            vx0, vy0, vz0 = px - cx0, py - cy0, pz - cz0
+            a = _dot(qx, qy, qz, qx, qy, qz)
+            b = 2.0 * _dot(vx0, vy0, vz0, qx, qy, qz)
+            c = _dot(vx0, vy0, vz0, vx0, vy0, vz0) - r * r
+            disc = b * b - 4.0 * a * c
+            has = disc >= 0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            t_near = (-b - sq) / (2.0 * a)
+            t_far = (-b + sq) / (2.0 * a)
+            t = jnp.where(t_near < 0, t_far, t_near)
+            return has & (t > 0), t
+
+        INF = np.float32(np.inf)
+
+        def one_step(carry):
+            (ox, oy, oz, dx, dy, dz, cx, cy, cz, f, n1, dep, sp, rng,
+             done_i, st, ec, it) = carry
+            (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_cx, s_cy, s_cz,
+             s_dep, s_f, s_n) = st
+
+            # done carried as i32 (Mosaic while loops cannot yield i1
+            # vectors); all mask logic below uses the bool view
+            done = done_i != 0
+            active = ~done
+            overdepth = dep >= D
+            do_work = active & ~overdepth
+
+            # --- findLightIntersection (primitives.cl:262-318) ---
+            lt = jnp.full_like(f, INF)
+            lwin = izero
+            for i in range(nl):
+                h, t = light_t(i, ox, oy, oz, dx, dy, dz)
+                tm = jnp.where(h, t, INF)
+                better = tm < lt
+                lt = jnp.where(better, tm, lt)
+                lwin = jnp.where(better, np.int32(i), lwin)
+            light_any = jnp.isfinite(lt)
+            # occluders: non-transparent spheres / any plane at t' <= t_light
+            lblock = jnp.zeros_like(done)
+            for i in range(ns):
+                h, t = sphere_t(i, ox, oy, oz, dx, dy, dz)
+                transp = u("sph_transparent", i) > 0.5
+                lblock |= h & (t <= lt) & jnp.logical_not(transp)
+            for i in range(npl):
+                h, t = plane_t(i, ox, oy, oz, dx, dy, dz)
+                lblock |= h & (t <= lt)
+            light_hit = light_any & ~lblock
+            # light color w/ the (1/d*d)==1 quirk (primitives.cl:287)
+            lr0 = zero
+            lr1 = zero
+            lr2 = zero
+            for i in range(nl):
+                sel = (lwin == i).astype(F32)
+                s = u("li_i", i) * inv_pi
+                lr0 += sel * u("li_rgb", 3 * i) * s
+                lr1 += sel * u("li_rgb", 3 * i + 1) * s
+                lr2 += sel * u("li_rgb", 3 * i + 2) * s
+
+            # --- findSolidIntersection (primitives.cl:322-394) ---
+            bt = jnp.full_like(f, INF)
+            bwin = jnp.full_like(izero, np.int32(-1))
+            for i in range(ns):
+                h, t = sphere_t(i, ox, oy, oz, dx, dy, dz)
+                tm = jnp.where(h, t, INF)
+                better = tm < bt
+                bt = jnp.where(better, tm, bt)
+                bwin = jnp.where(better, np.int32(i), bwin)
+            for i in range(npl):
+                h, t = plane_t(i, ox, oy, oz, dx, dy, dz)
+                tm = jnp.where(h, t, INF)
+                better = tm < bt
+                bt = jnp.where(better, tm, bt)
+                bwin = jnp.where(better, np.int32(ns + i), bwin)
+            solid_hit = jnp.isfinite(bt)
+            t_safe = jnp.where(solid_hit, bt, 0.0)
+            hx = ox + dx * t_safe
+            hy = oy + dy * t_safe
+            hz = oz + dz * t_safe
+
+            # normal + per-lane material via one-hot over the winner
+            nx = zero
+            nyv = zero
+            nz = zero
+            m = {k: zero for k in _MAT_FIELDS}
+            for i in range(ns):
+                sel = bwin == i
+                self_ = sel.astype(F32)
+                sx, sy, sz = _normalize(hx - u("sph_o", 3 * i),
+                                        hy - u("sph_o", 3 * i + 1),
+                                        hz - u("sph_o", 3 * i + 2))
+                nx += self_ * sx
+                nyv += self_ * sy
+                nz += self_ * sz
+                for k in _MAT_FIELDS:
+                    m[k] += self_ * u("sph_" + k, i)
+            for i in range(npl):
+                sel = bwin == ns + i
+                self_ = sel.astype(F32)
+                nx += self_ * u("pl_nrm", 3 * i)
+                nyv += self_ * u("pl_nrm", 3 * i + 1)
+                nz += self_ * u("pl_nrm", 3 * i + 2)
+                for k in _MAT_FIELDS:
+                    m[k] += self_ * u("pl_" + k, i)
+
+            is_light = do_work & light_hit
+            is_miss = do_work & ~light_hit & ~solid_hit
+            is_solid = do_work & ~light_hit & solid_hit
+
+            # --- event emission: sky on miss / texel on textured hit ---
+            # sky flat index (raytracing.cl:61-78 w/ v-flip + clamp)
+            uu, vv = _map_to_cube(dx, dy, dz, sky_w // 4)
+            syy = jnp.clip(np.int32(sky_h) - vv, 0, np.int32(sky_h - 1))
+            sxx = jnp.clip(uu, 0, np.int32(sky_w - 1))
+            sky_idx = np.int32(sky_base) + syy * np.int32(sky_w) + sxx
+
+            # plane texture flat index (primitives.cl:217-259)
+            is_plane_hit = bwin >= ns
+            tex_id = m["texture_id"]
+            # texture_id >= 0 (f32 compare is exact for small ints)
+            textured = is_solid & is_plane_hit & (tex_id > -0.5)
+            b0x = zero
+            b0y = zero
+            b0z = zero
+            b1x = zero
+            b1y = zero
+            b1z = zero
+            for i in range(npl):
+                sel = (bwin == ns + i).astype(F32)
+                (p0x, p0y, p0z), (p1x, p1y, p1z) = _plane_basis(
+                    u("pl_nrm", 3 * i), u("pl_nrm", 3 * i + 1),
+                    u("pl_nrm", 3 * i + 2))
+                b0x += sel * p0x
+                b0y += sel * p0y
+                b0z += sel * p0z
+                b1x += sel * p1x
+                b1y += sel * p1y
+                b1z += sel * p1z
+            ui = _dot(b0x, b0y, b0z, hx, hy, hz) * m["texture_scale"]
+            vi = _dot(b1x, b1y, b1z, hx, hy, hz) * m["texture_scale"]
+            ui = jnp.where(jnp.isfinite(ui), ui, 0.0)
+            vi = jnp.where(jnp.isfinite(vi), vi, 0.0)
+            txi = jnp.mod(ui.astype(I32), np.int32(tex_w))
+            tyi = jnp.mod(vi.astype(I32), np.int32(tex_h))
+            tex_idx = (tex_id.astype(I32) * np.int32(tex_h) + tyi) \
+                * np.int32(tex_w) + txi
+
+            emit_sky = is_miss
+            emit_tex = textured
+            emit = emit_sky | emit_tex
+            eidx = jnp.where(emit_sky, sky_idx, tex_idx)
+            ew = jnp.where(emit_sky, f, f * m["ambient"])
+            # write at per-lane slot ec via one-hot over K
+            can = emit & (ec < K)
+            for k in range(K):
+                at = can & (ec == k)
+                sl = slice(k * SUBLANES, (k + 1) * SUBLANES)
+                ev_idx_out[sl, :] = jnp.where(at, eidx, ev_idx_out[sl, :])
+                ev_w_out[sl, :] = jnp.where(at, ew, ev_w_out[sl, :])
+            ec = ec + can.astype(I32)
+            overflow = emit & ~can
+
+            # --- accumulate in-register color ---
+            fl = f
+            cx2 = cx + jnp.where(is_light, fl * lr0, 0.0)
+            cy2 = cy + jnp.where(is_light, fl * lr1, 0.0)
+            cz2 = cz + jnp.where(is_light, fl * lr2, 0.0)
+            # untextured ambient in-kernel (textured handled by the event)
+            amb = jnp.where(is_solid & ~textured, fl * m["ambient"], 0.0)
+            cx2 += amb * m["rgb0"]
+            cy2 += amb * m["rgb1"]
+            cz2 += amb * m["rgb2"]
+
+            # --- per-light soft-shadow Phong (raytracing.cl:87-136) ---
+            # eps-offset hit point (primitives.cl:350,380)
+            phx = hx + nx * eps
+            phy = hy + nyv * eps
+            phz = hz + nz * eps
+            vx_, vy_, vz_ = _normalize(ox - phx, oy - phy, oz - phz)
+            new_rng = rng
+            for i in range(nl):
+                lox, loy, loz = u("li_o", 3 * i), u("li_o", 3 * i + 1), \
+                    u("li_o", 3 * i + 2)
+                lrad = u("li_r", i)
+                sdx, sdy, sdz = _normalize(lox - phx, loy - phy, loz - phz)
+                soft = zero
+                for _ in range(n_samples):
+                    new_rng, r1 = _xorshift32(new_rng)
+                    theta = two_pi * r1
+                    new_rng, r2 = _xorshift32(new_rng)
+                    phi = pi * r2
+                    sphi = jnp.sin(phi)
+                    sx = lox + lrad * sphi * jnp.cos(theta)
+                    sy = loy + lrad * sphi * jnp.sin(theta)
+                    sz = loz + lrad * jnp.cos(phi)
+                    # testShadowPath (primitives.cl:396-442)
+                    qx, qy, qz = _normalize(sx - phx, sy - phy, sz - phz)
+                    ddx = sx - phx
+                    ddy = sy - phy
+                    ddz = sz - phz
+                    tmax = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    blocked = jnp.zeros_like(done)
+                    opac = jnp.ones_like(f)
+                    for j in range(ns):
+                        h, t = sphere_t(j, phx, phy, phz, qx, qy, qz)
+                        rel = h & (t < tmax)
+                        transp = u("sph_transparent", j) > 0.5
+                        blocked |= rel & jnp.logical_not(transp)
+                        opac *= jnp.where(rel & transp, through, 1.0)
+                    for j in range(npl):
+                        h, t = plane_t(j, phx, phy, phz, qx, qy, qz)
+                        blocked |= h & (t < tmax)
+                    soft += jnp.where(blocked, 0.0, opac)
+                if n_samples:
+                    ssr = soft / np.float32(n_samples)
+                else:
+                    ssr = soft + 1.0
+                ddx = lox - phx
+                ddy = loy - phy
+                ddz = loz - phz
+                dd = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                dd = jnp.where(dd > 0, dd, 1.0)
+                fall = inv_pi * u("li_i", i) / (dd * dd) * ssr
+                lrr = u("li_rgb", 3 * i) * fall
+                lrg = u("li_rgb", 3 * i + 1) * fall
+                lrb = u("li_rgb", 3 * i + 2) * fall
+                hxv, hyv, hzv = _normalize(vx_ + sdx, vy_ + sdy, vz_ + sdz)
+                ndh = jnp.maximum(0.0, _dot(nx, nyv, nz, hxv, hyv, hzv))
+                # floor at a denormal-ish base: pow lowers via exp*log and
+                # 0^0 on dead lanes would NaN; 1e-30^s == 0 for real s > 0
+                spec = jnp.power(jnp.maximum(ndh, np.float32(1e-30)),
+                                 m["shininess"]) * m["specular"] * fl
+                ndl = jnp.maximum(0.0, _dot(nx, nyv, nz, sdx, sdy, sdz))
+                diff = ndl * m["diffuse"] * fl
+                w_ = jnp.where(is_solid, spec + diff, 0.0)
+                cx2 += w_ * lrr
+                cy2 += w_ * lrg
+                cz2 += w_ * lrb
+            rng = jnp.where(is_solid, new_rng, rng)
+
+            # --- reflect / refract continuation (raytracing.cl:138-179) ---
+            n2 = jnp.where(n1 == default_n, m["n"], default_n)
+            # schlick (primitives.cl:146-160)
+            r0 = (n1 - n2) / (n1 + n2)
+            r0 = r0 * r0
+            cos_i = -_dot(nx, nyv, nz, dx, dy, dz)
+            nr = n1 / n2
+            sin_t2 = nr * nr * (1.0 - cos_i * cos_i)
+            s_tir = sin_t2 > 1.0
+            cos_tr = jnp.sqrt(jnp.clip(1.0 - sin_t2, 0.0, None))
+            use_tr = n1 > n2
+            cos_x = jnp.where(use_tr, cos_tr, cos_i)
+            xs = 1.0 - cos_x
+            fr = r0 + (1.0 - r0) * xs * xs * xs * xs * xs
+            fr = jnp.where(use_tr & s_tir, 1.0, fr)
+            dielectric = m["dielectric"] > 0.5
+            refl = m["reflectivity"]
+            ra = jnp.where(dielectric, refl + (1.0 - refl) * fr, refl)
+            f_cont = f * ra
+            # reflect (primitives.cl:127-130)
+            rdx = dx + 2.0 * cos_i * nx
+            rdy = dy + 2.0 * cos_i * nyv
+            rdz = dz + 2.0 * cos_i * nz
+            dep1 = dep + 1
+
+            transparent = m["transparent"] > 0.5
+            push_try = is_solid & transparent & (sp < D) & (ra < 1.0)
+            entering = n1 < n2
+            cox = jnp.where(entering, phx - 2.0 * eps * nx, phx)
+            coy = jnp.where(entering, phy - 2.0 * eps * nyv, phy)
+            coz = jnp.where(entering, phz - 2.0 * eps * nz, phz)
+            rnx = jnp.where(entering, nx, -nx)
+            rny = jnp.where(entering, nyv, -nyv)
+            rnz = jnp.where(entering, nz, -nz)
+            # refract (primitives.cl:132-144) against rn
+            cos_i2 = -_dot(rnx, rny, rnz, dx, dy, dz)
+            sin2 = nr * nr * (1.0 - cos_i2 * cos_i2)
+            tir = sin2 > 1.0
+            cos_t = jnp.sqrt(jnp.clip(1.0 - sin2, 0.0, None))
+            tdx = nr * dx + (nr * cos_i2 - cos_t) * rnx
+            tdy = nr * dy + (nr * cos_i2 - cos_t) * rny
+            tdz = nr * dz + (nr * cos_i2 - cos_t) * rnz
+            push = push_try & ~tir
+
+            pop = active & (overdepth | is_light | is_miss)
+            finish = pop & (sp == 1)
+            popm = pop & (sp > 1)
+            cont = is_solid & ~push
+
+            # --- stack write (one-hot over depth levels) ---
+            lvl_push = sp - 1
+            lvl_pop = sp - 2
+
+            # stack level k lives in rows [k*S, (k+1)*S); lev_row labels each
+            # row with its level so set/get are single full-array selects
+            # (.at[].set would lower to scatter, which Mosaic can't take)
+            lev_row = jax.lax.broadcasted_iota(
+                I32, (D * SUBLANES, LANES), 0) // np.int32(SUBLANES)
+
+            def stset(arr, val, mask, lvl):
+                cond = jnp.tile(mask, (D, 1)) \
+                    & (jnp.tile(lvl, (D, 1)) == lev_row)
+                return jnp.where(cond, jnp.tile(val, (D, 1)), arr)
+
+            def stget(arr, lvl):
+                sel = jnp.tile(lvl, (D, 1)) == lev_row
+                picked = jnp.where(sel, arr, jnp.zeros((), arr.dtype))
+                return picked.reshape(D, SUBLANES, LANES).sum(axis=0)
+
+            s_ox = stset(s_ox, phx, push, lvl_push)
+            s_oy = stset(s_oy, phy, push, lvl_push)
+            s_oz = stset(s_oz, phz, push, lvl_push)
+            s_dx = stset(s_dx, rdx, push, lvl_push)
+            s_dy = stset(s_dy, rdy, push, lvl_push)
+            s_dz = stset(s_dz, rdz, push, lvl_push)
+            s_cx = stset(s_cx, cx2, push, lvl_push)
+            s_cy = stset(s_cy, cy2, push, lvl_push)
+            s_cz = stset(s_cz, cz2, push, lvl_push)
+            s_dep = stset(s_dep, dep1, push, lvl_push)
+            s_f = stset(s_f, f_cont, push, lvl_push)
+            s_n = stset(s_n, n1, push, lvl_push)
+
+            r_ox = stget(s_ox, lvl_pop)
+            r_oy = stget(s_oy, lvl_pop)
+            r_oz = stget(s_oz, lvl_pop)
+            r_dx = stget(s_dx, lvl_pop)
+            r_dy = stget(s_dy, lvl_pop)
+            r_dz = stget(s_dz, lvl_pop)
+            r_cx = stget(s_cx, lvl_pop)
+            r_cy = stget(s_cy, lvl_pop)
+            r_cz = stget(s_cz, lvl_pop)
+            r_dep = stget(s_dep, lvl_pop)
+            r_f = stget(s_f, lvl_pop)
+            r_n = stget(s_n, lvl_pop)
+
+            def pick4(push_v, pop_v, cont_v, keep):
+                return jnp.where(push, push_v,
+                                 jnp.where(popm, pop_v,
+                                           jnp.where(cont, cont_v, keep)))
+
+            child_f = f * (1.0 - ra)
+            n_ox = pick4(cox, r_ox, phx, ox)
+            n_oy = pick4(coy, r_oy, phy, oy)
+            n_oz = pick4(coz, r_oz, phz, oz)
+            n_dx = pick4(tdx, r_dx, rdx, dx)
+            n_dy = pick4(tdy, r_dy, rdy, dy)
+            n_dz = pick4(tdz, r_dz, rdz, dz)
+            n_cx = jnp.where(push, 0.0,
+                             jnp.where(popm, r_cx + cx2,
+                                       jnp.where(cont | finish, cx2, cx)))
+            n_cy = jnp.where(push, 0.0,
+                             jnp.where(popm, r_cy + cy2,
+                                       jnp.where(cont | finish, cy2, cy)))
+            n_cz = jnp.where(push, 0.0,
+                             jnp.where(popm, r_cz + cz2,
+                                       jnp.where(cont | finish, cz2, cz)))
+            n_dep = jnp.where(push | cont, dep1, jnp.where(popm, r_dep, dep))
+            n_f = jnp.where(push, child_f,
+                            jnp.where(popm, r_f,
+                                      jnp.where(cont, f_cont, f)))
+            n_n1 = jnp.where(push, n2, jnp.where(popm, r_n, n1))
+            n_sp = sp + push.astype(I32) - popm.astype(I32)
+            n_done = done_i | finish.astype(I32)
+
+            st = (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_cx, s_cy, s_cz,
+                  s_dep, s_f, s_n)
+            # track overflow count in SMEM-like register (reduced at end)
+            return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_cx, n_cy, n_cz,
+                    n_f, n_n1, n_dep, n_sp, rng, n_done, st, ec,
+                    it + overflow.astype(I32))
+
+        sD = jnp.zeros((D * SUBLANES, LANES), F32)
+        sDi = jnp.zeros((D * SUBLANES, LANES), I32)
+        init = (ox, oy, oz, dx, dy, dz, zero, zero, zero,
+                zero + 1.0, zero + default_n, izero, izero + 1,
+                pid, (~in_image).astype(I32),  # rng + done as i32 bits
+                (sD, sD, sD, sD, sD, sD, sD, sD, sD, sDi, sD, sD),
+                izero, izero)
+
+        def cond(carry):
+            return jnp.any(carry[14] == 0)
+
+        def body(carry):
+            return one_step(carry)
+
+        # bounded while: Mosaic needs a static trip bound only for fori;
+        # while_loop with a data cond is supported.
+        final = jax.lax.while_loop(cond, body, init)
+        cxf, cyf, czf = final[6], final[7], final[8]
+        over = final[17]
+
+        c_out[0 * SUBLANES:1 * SUBLANES, :] = cxf
+        c_out[1 * SUBLANES:2 * SUBLANES, :] = cyf
+        c_out[2 * SUBLANES:3 * SUBLANES, :] = czf
+        over_out[:] = over
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+def render_pallas(scene: Scene, assets: SceneAssets,
+                  basis: PerspectiveBasis, cfg: RenderConfig,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Forward render via the Pallas megakernel.
+
+    Returns float32 linear rgb [H, W, 3] (same semantics as the XLA tracer;
+    scenes with triangles fall back to the XLA path upstream).
+    """
+    width, height = cfg.width, cfg.height
+    lay = uniform_layout(scene.num_spheres, scene.num_planes,
+                         scene.num_lights)
+    atlas = build_atlas(assets)
+    uni = pack_uniforms(scene, basis, lay)
+
+    gx = -(-width // LANES)
+    gy = -(-height // SUBLANES)
+    K = cfg.resolved_event_slots()
+
+    kernel = _make_kernel(
+        lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
+              atlas.sky_h, atlas.sky_w), cfg, width, height, gx)
+
+    c_blk, ev_idx, ev_w, over = pl.pallas_call(
+        kernel,
+        grid=(gy, gx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((None, None, 3 * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, K * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, K * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((gy, gx, 3 * SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, SUBLANES, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(uni)
+
+    # --- resolve deferred texel events: one masked gather over the atlas ---
+    valid = ev_idx >= 0
+    idx = jnp.where(valid, ev_idx, 0)
+    texel = jnp.take(atlas.packed, idx.reshape(-1), axis=0).reshape(idx.shape)
+    r = ((texel >> 16) & 0xFF).astype(F32) / F32(255.0)
+    g = ((texel >> 8) & 0xFF).astype(F32) / F32(255.0)
+    b = (texel & 0xFF).astype(F32) / F32(255.0)
+    w = jnp.where(valid, ev_w, 0.0)
+
+    def fold(chan):
+        # [gy, gx, K*S, L] -> sum over K -> [gy, gx, S, L]
+        v = (w * chan).reshape(ev_idx.shape[0], ev_idx.shape[1], K,
+                               SUBLANES, LANES)
+        return v.sum(axis=2)
+
+    cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :] + fold(r)
+    cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :] + fold(g)
+    cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :] + fold(b)
+
+    # [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
+    def unblock(ch):
+        return ch.transpose(0, 2, 1, 3).reshape(gy * SUBLANES, gx * LANES)
+
+    img = jnp.stack([unblock(cx), unblock(cy), unblock(cz)], axis=-1)
+    return img[:height, :width, :]
+
+
+def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
+    """The Pallas engine currently covers the reference feature set
+    (spheres + planes + lights); triangle scenes use the XLA tracer."""
+    return scene.num_triangles == 0

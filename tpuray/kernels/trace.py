@@ -400,10 +400,13 @@ class TraceState(NamedTuple):
     rng: jnp.ndarray      # [P] u32 xorshift32 state (seeded with pixel id)
     done: jnp.ndarray     # [P] bool
     result: jnp.ndarray   # [P, 3] final color once done
-    # saved parent continuations (write on push, read on pop)
-    s_o: jnp.ndarray      # [D, P, 3]
-    s_d: jnp.ndarray      # [D, P, 3]
-    s_c: jnp.ndarray      # [D, P, 3]
+    # saved parent continuations (write on push, read on pop).  Vector
+    # stacks are [D, 3, P] — lanes minor — so XLA's (8, 128) tiling pads
+    # the P axis, not a 3-wide axis (a [D, P, 3] layout padded 3 -> 128
+    # lanes costs 42x the memory)
+    s_o: jnp.ndarray      # [D, 3, P]
+    s_d: jnp.ndarray      # [D, 3, P]
+    s_c: jnp.ndarray      # [D, 3, P]
     s_dep: jnp.ndarray    # [D, P] i32
     s_f: jnp.ndarray      # [D, P]
     s_n: jnp.ndarray      # [D, P]
@@ -411,11 +414,12 @@ class TraceState(NamedTuple):
 
 
 def _stack_set(arr, lvl, val, mask):
+    """arr [D,P]|[D,3,P]; val [P]|[P,3]; write where mask at level lvl."""
     depth = arr.shape[0]
     oh = (jnp.arange(depth, dtype=I32)[:, None] == lvl[None, :]) \
-        & mask[None, :]
+        & mask[None, :]                                    # [D, P]
     if arr.ndim == 3:
-        oh = oh[:, :, None]
+        return jnp.where(oh[:, None, :], val.T[None], arr)
     return jnp.where(oh, val[None], arr)
 
 
@@ -423,7 +427,8 @@ def _stack_get(arr, lvl):
     depth = arr.shape[0]
     oh = jnp.arange(depth, dtype=I32)[:, None] == lvl[None, :]
     if arr.ndim == 3:
-        oh = oh[:, :, None]
+        picked = jnp.where(oh[:, None, :], arr, jnp.zeros((), arr.dtype))
+        return picked.sum(axis=0).T                        # [P, 3]
     return jnp.where(oh, arr, jnp.zeros((), arr.dtype)).sum(axis=0)
 
 
@@ -436,7 +441,7 @@ def _init_state(o, d, pixel_ids, cfg: RenderConfig) -> TraceState:
     z3 = o.astype(F32) * F32(0.0)                    # [P, 3]
     z1 = jnp.sum(z3, axis=-1)                        # [P]
     zi = z1.astype(I32)
-    zd3 = jnp.broadcast_to(z3[None], (depth, p, 3))  # [D, P, 3]
+    zd3 = jnp.broadcast_to(z3.T[None], (depth, 3, p))  # [D, 3, P]
     zd1 = jnp.broadcast_to(z1[None], (depth, p))
     return TraceState(
         o=o.astype(F32), d=d.astype(F32), c=z3,
@@ -596,6 +601,77 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
                       s_dep=s_dep, s_f=s_f, s_n=s_n, it=st.it + 1)
 
 
+_COMPACT_STATE_FIELDS = tuple(f for f in TraceState._fields if f != "it")
+
+
+def _state_take(st: TraceState, idx) -> TraceState:
+    """Gather the per-lane state at ``idx`` (lane axis is the last-but-vec
+    axis: axis 0 for registers, axis 1 for the [D, P, ...] stacks)."""
+    kw = {}
+    for f in _COMPACT_STATE_FIELDS:
+        arr = getattr(st, f)
+        axis = arr.ndim - 1 if f.startswith("s_") else 0  # stacks: lanes last
+        kw[f] = jnp.take(arr, idx, axis=axis)
+    return st._replace(**kw)
+
+
+def _state_put(st: TraceState, sub: TraceState, idx) -> TraceState:
+    """Scatter ``sub``'s lanes back into ``st`` at ``idx`` (out-of-range
+    indices — the padding fill — are dropped)."""
+    kw = {}
+    for f in _COMPACT_STATE_FIELDS:
+        arr = getattr(st, f)
+        val = getattr(sub, f)
+        if f.startswith("s_"):
+            if arr.ndim == 3:
+                kw[f] = arr.at[:, :, idx].set(val, mode="drop")
+            else:
+                kw[f] = arr.at[:, idx].set(val, mode="drop")
+        else:
+            kw[f] = arr.at[idx].set(val, mode="drop")
+    return st._replace(**kw)
+
+
+def _trace_while_compacted(scene: Scene, assets: SceneAssets,
+                           cfg: RenderConfig, st: TraceState) -> TraceState:
+    """The DFS machine with active-lane compaction.
+
+    The lockstep while-loop pays max-lane iterations for every lane: at
+    1080p depth-4 the worst lane needs ~24 DFS steps but the median lane
+    needs 2, so ~87% of the vector work is masked-off lanes.  Since each
+    lane's traversal is independent, lanes can be *reordered* freely:
+
+    1. run a few full-width steps (the bulk of lanes finish),
+    2. then repeatedly gather the still-active lanes into a buffer of
+       ``P * compact_frac`` lanes (``jnp.nonzero`` with static size),
+       advance only that buffer ``compact_steps`` DFS steps, and scatter it
+       back — until every lane is done.
+
+    Per-lane execution order and RNG sequence are untouched, so the result
+    is bit-identical to the uncompacted loop; only the schedule changes.
+    More actives than the buffer just means more rounds (no bias, no drop).
+    """
+    p = st.o.shape[0]
+    phase1 = min(cfg.compact_after, cfg.max_iters)
+    step = lambda _, s: _trace_step(scene, assets, cfg, s)  # noqa: E731
+    st = jax.lax.fori_loop(0, phase1, step, st)
+
+    cap = max(256, int(p * cfg.compact_frac))
+    cap = min(cap, p)
+
+    def round_cond(s: TraceState):
+        return jnp.any(~s.done) & (s.it < cfg.max_iters)
+
+    def round_body(s: TraceState):
+        (idx,) = jnp.nonzero(~s.done, size=cap, fill_value=p)
+        sub = _state_take(s, jnp.clip(idx, 0, p - 1))
+        sub = sub._replace(done=sub.done | (idx >= p), it=s.it)
+        sub = jax.lax.fori_loop(0, cfg.compact_steps, step, sub)
+        return _state_put(s, sub, idx)._replace(it=sub.it)
+
+    return jax.lax.while_loop(round_cond, round_body, st)
+
+
 def trace_rays(scene: Scene, assets: SceneAssets, o, d, pixel_ids,
                cfg: RenderConfig) -> jnp.ndarray:
     """Trace a batch of rays to completion.  Returns linear rgb [P, 3]
@@ -603,7 +679,9 @@ def trace_rays(scene: Scene, assets: SceneAssets, o, d, pixel_ids,
     raytracing.cl:193)."""
     st = _init_state(o, d, pixel_ids, cfg)
 
-    if cfg.loop == "while":
+    if cfg.loop == "while" and cfg.compact_frac:
+        st = _trace_while_compacted(scene, assets, cfg, st)
+    elif cfg.loop == "while":
         def cond(s: TraceState):
             return jnp.any(~s.done) & (s.it < cfg.max_iters)
 

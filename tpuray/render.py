@@ -39,9 +39,18 @@ def _pad_to(x, n, axis=0):
     return jnp.pad(x, widths)
 
 
+def _use_pallas(scene: Scene, cfg: RenderConfig) -> bool:
+    from .kernels.pallas_trace import pallas_supported
+    if cfg.engine == "pallas":
+        return True
+    if cfg.engine == "xla":
+        return False
+    return pallas_supported(scene, cfg) and jax.default_backend() != "cpu"
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def render_from_basis(scene: Scene, assets: SceneAssets,
-                      basis: PerspectiveBasis, cfg: RenderConfig):
+def render_from_basis_xla(scene: Scene, assets: SceneAssets,
+                          basis: PerspectiveBasis, cfg: RenderConfig):
     """Jitted end-to-end render: basis -> primary rays -> traced rgb.
 
     Returns float32 linear rgb [H, W, 3] (pre-quantization)."""
@@ -69,6 +78,25 @@ def render_from_basis(scene: Scene, assets: SceneAssets,
         rgb = jax.lax.map(run, (origins, dirs, pixel_ids)).reshape(-1, 3)
         rgb = rgb[:n_pix]
     return rgb.reshape(height, width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_from_basis_pallas(scene: Scene, assets: SceneAssets,
+                             basis: PerspectiveBasis, cfg: RenderConfig):
+    from .kernels.pallas_trace import render_pallas
+    return render_pallas(scene, assets, basis, cfg)
+
+
+def render_from_basis(scene: Scene, assets: SceneAssets,
+                      basis: PerspectiveBasis, cfg: RenderConfig):
+    """Engine-dispatching forward render (cfg.engine: auto|pallas|xla).
+
+    The Pallas tile megakernel is the fast path on TPU hardware; the XLA
+    tracer is the differentiable/portable path and covers triangle scenes.
+    """
+    if _use_pallas(scene, cfg):
+        return render_from_basis_pallas(scene, assets, basis, cfg)
+    return render_from_basis_xla(scene, assets, basis, cfg)
 
 
 def render(scene: Scene, assets: SceneAssets, camera: Camera,
