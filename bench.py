@@ -4,11 +4,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (SURVEY.md §6); its only timing hook is
-raypng.c:85-96 (wall-clock ms for raygen+raytracer at 800x600 depth-15).
-``vs_baseline`` is therefore measured against this project's BASELINE.json
-north-star configuration (1080p depth-4 primary rays per second per chip),
+raypng.c:85-96 (wall-clock ms at 800x600 depth-15).  ``vs_baseline`` is
+measured against this project's BASELINE.json north-star configuration,
 with baseline 1.0 == 100 Mrays/s/chip (a strong GPU raytracer's throughput
 on the same brute-force workload).
+
+Timing methodology: N renders are chained *inside one jitted program*
+(``lax.fori_loop`` with per-iteration camera perturbation so no stage can
+be cached) and the per-render time is the slope (t_N - t_1)/(N - 1) with a
+scalar host readback as the sync point.  This is robust against async
+dispatch layers that make ``block_until_ready`` return early.
 """
 import json
 import os
@@ -18,32 +23,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MRAYS = 100.0
+N_CHAIN = 5
 
 
 def main():
-    from tpuray.camera import Camera
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuray.camera import Camera, perspective_basis
     from tpuray.config import (GOLDEN_CAMERA_LOOKDIR, GOLDEN_CAMERA_ORIGIN,
                                RenderConfig)
-    from tpuray.render import render
+    from tpuray.render import render_from_basis_pallas, render_from_basis_xla
     from tpuray.sceneio import load_scene
     from tpuray.textures import load_default_assets
 
-    scene = load_scene("/root/reference/scenes/render.map").to_scene()
+    scene = load_scene(os.environ.get(
+        "TPURAY_BENCH_SCENE", "/root/reference/scenes/render.map")).to_scene()
     assets = load_default_assets()
     cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR, 90.0, 1.0)
     cfg = RenderConfig(width=1920, height=1080, max_depth=4, chunk_size=0)
+    basis = perspective_basis(cam, cfg.width, cfg.height)
 
-    img = render(scene, assets, cam, cfg)
-    img.block_until_ready()  # compile + warm-up
+    on_tpu = jax.default_backend() != "cpu"
+    render = (render_from_basis_pallas if on_tpu else render_from_basis_xla)
+    inner = render.__wrapped__  # un-jitted; we jit the whole chain
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        img = render(scene, assets, cam, cfg)
-        img.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    mrays = cfg.num_pixels / dt / 1e6
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def render_n(basis, n):
+        def body(i, acc):
+            b = basis._replace(
+                origin=basis.origin + i.astype(jnp.float32) * 1e-6)
+            return acc + jnp.sum(inner(scene, assets, b, cfg))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    for n in (1, N_CHAIN):           # compile both chain lengths
+        float(render_n(basis, n))
+
+    def best_of(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(render_n(basis, n))   # scalar readback = true sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_render = (best_of(N_CHAIN) - best_of(1)) / (N_CHAIN - 1)
+    mrays = cfg.num_pixels / per_render / 1e6
     print(json.dumps({
         "metric": "primary_mrays_per_s_1080p_depth4",
         "value": round(mrays, 2),

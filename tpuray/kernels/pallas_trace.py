@@ -268,7 +268,24 @@ def _plane_basis(nx, ny, nz):
 
 def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                  width: int, height: int, gx: int):
-    """Builds the tile kernel closure.  All loop bounds / offsets static."""
+    """Builds the tile kernel closure.  All loop bounds / offsets static.
+
+    v2 structure (after profiling the v1 kernel at ~116 us/DFS-step):
+    * every SMEM uniform is prefetched ONCE before the while loop — v1
+      re-read + re-broadcast them inside the body every step;
+    * the 12 per-lane ray-stack arrays live in VMEM scratch, not in the
+      while carry (v1 carried ~2*(14 + 12*D) vregs, far beyond the register
+      file, so every iteration spilled the full stack);
+    * stack writes/reads and event writes are wrapped in whole-tile
+      ``@pl.when``/``lax.cond`` guards so steps without pushes/pops/events
+      skip the VMEM traffic;
+    * per-primitive (hit, t) pairs are computed once per step and shared
+      between the light-occlusion test and the closest-solid query (v1
+      intersected everything twice);
+    * the whole direct-lighting block (the 3 lights x 2 soft-shadow samples
+      x all-primitives feeler storm) is skipped when no lane in the tile
+      hit a solid this step.
+    """
     tex_h, tex_w, n_tex, sky_base, sky_h, sky_w = atlas_meta
     ns, npl, nl = lay.n_spheres, lay.n_planes, lay.n_lights
     D = cfg.max_depth
@@ -282,14 +299,27 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
     inv_pi = np.float32(1.0 / np.pi)
     two_pi = np.float32(2.0 * np.pi)
     pi = np.float32(np.pi)
+    INF = np.float32(np.inf)
 
-    def kernel(uni, c_out, ev_idx_out, ev_w_out, over_out):
-        g = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    NF = 11  # f32 stack planes: o(3), d(3), c(3), f, n
+
+    _counts = {"basis": 14, "sph_o": 3 * ns, "sph_r": ns,
+               "pl_nrm": 3 * npl, "pl_pt": 3 * npl,
+               "li_o": 3 * nl, "li_r": nl, "li_i": nl, "li_rgb": 3 * nl}
+    for _f in _MAT_FIELDS:
+        _counts["sph_" + _f] = ns
+        _counts["pl_" + _f] = npl
+
+    def kernel(uni, c_out, ev_idx_out, ev_w_out, over_out, stk_f, stk_i):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
 
+        # ---- prefetch every uniform once (loop-invariant scalars) ----
+        U = {k: [uni[lay.off[k] + i] for i in range(c)]
+             for k, c in _counts.items()}
+
         def u(name, i=0):
-            return uni[lay.off[name] + i]
+            return U[name][i]
 
         # ---- raygen (raygen.cl:10-24) ----
         srow = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 0)
@@ -299,10 +329,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         pid = row * width + col
         in_image = (row < height) & (col < width)
 
-        wf = u("basis", 12)
-        hf = u("basis", 13)
-        w_scale = wf * col.astype(F32)
-        h_scale = hf * row.astype(F32)
+        w_scale = u("basis", 12) * col.astype(F32)
+        h_scale = u("basis", 13) * row.astype(F32)
         vx = u("basis", 0) + u("basis", 9) * w_scale - u("basis", 6) * h_scale
         vy = u("basis", 1) + u("basis", 10) * w_scale - u("basis", 7) * h_scale
         vz = u("basis", 2) + u("basis", 11) * w_scale - u("basis", 8) * h_scale
@@ -316,8 +344,19 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
         ev_idx_out[:] = jnp.full((K * SUBLANES, LANES), EV_NONE)
         ev_w_out[:] = jnp.zeros((K * SUBLANES, LANES), F32)
+        stk_f[:] = jnp.zeros((NF * D * SUBLANES, LANES), F32)
+        stk_i[:] = jnp.zeros((D * SUBLANES, LANES), I32)
 
-        # ---- helper queries over the (tiny) primitive tables ----
+        # row-of-stack -> level label, for masked level-indexed access
+        lev_row = jax.lax.broadcasted_iota(
+            I32, (D * SUBLANES, LANES), 0) // np.int32(SUBLANES)
+        levK_row = jax.lax.broadcasted_iota(
+            I32, (K * SUBLANES, LANES), 0) // np.int32(SUBLANES)
+
+        def tile_d(x):
+            return jnp.tile(x, (D, 1))
+
+        # ---- per-primitive quadratic / plane tests (shared helpers) ----
         def sphere_t(i, px, py, pz, qx, qy, qz):
             """intersect_sphere w/ far-root rule (primitives.cl:170-195)."""
             cx0, cy0, cz0 = u("sph_o", 3 * i), u("sph_o", 3 * i + 1), \
@@ -361,20 +400,26 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             t = jnp.where(t_near < 0, t_far, t_near)
             return has & (t > 0), t
 
-        INF = np.float32(np.inf)
+        # per-plane texture bases are ray-independent: compute once
+        plane_bases = []
+        for i in range(npl):
+            plane_bases.append(_plane_basis(
+                u("pl_nrm", 3 * i), u("pl_nrm", 3 * i + 1),
+                u("pl_nrm", 3 * i + 2)))
 
         def one_step(carry):
             (ox, oy, oz, dx, dy, dz, cx, cy, cz, f, n1, dep, sp, rng,
-             done_i, st, ec, it) = carry
-            (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_cx, s_cy, s_cz,
-             s_dep, s_f, s_n) = st
-
+             done_i, ec, it) = carry
             # done carried as i32 (Mosaic while loops cannot yield i1
             # vectors); all mask logic below uses the bool view
             done = done_i != 0
             active = ~done
             overdepth = dep >= D
             do_work = active & ~overdepth
+
+            # --- all primitive tests for the current ray, once ---
+            sph = [sphere_t(i, ox, oy, oz, dx, dy, dz) for i in range(ns)]
+            pln = [plane_t(i, ox, oy, oz, dx, dy, dz) for i in range(npl)]
 
             # --- findLightIntersection (primitives.cl:262-318) ---
             lt = jnp.full_like(f, INF)
@@ -389,11 +434,11 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             # occluders: non-transparent spheres / any plane at t' <= t_light
             lblock = jnp.zeros_like(done)
             for i in range(ns):
-                h, t = sphere_t(i, ox, oy, oz, dx, dy, dz)
+                h, t = sph[i]
                 transp = u("sph_transparent", i) > 0.5
                 lblock |= h & (t <= lt) & jnp.logical_not(transp)
             for i in range(npl):
-                h, t = plane_t(i, ox, oy, oz, dx, dy, dz)
+                h, t = pln[i]
                 lblock |= h & (t <= lt)
             light_hit = light_any & ~lblock
             # light color w/ the (1/d*d)==1 quirk (primitives.cl:287)
@@ -411,13 +456,13 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             bt = jnp.full_like(f, INF)
             bwin = jnp.full_like(izero, np.int32(-1))
             for i in range(ns):
-                h, t = sphere_t(i, ox, oy, oz, dx, dy, dz)
+                h, t = sph[i]
                 tm = jnp.where(h, t, INF)
                 better = tm < bt
                 bt = jnp.where(better, tm, bt)
                 bwin = jnp.where(better, np.int32(i), bwin)
             for i in range(npl):
-                h, t = plane_t(i, ox, oy, oz, dx, dy, dz)
+                h, t = pln[i]
                 tm = jnp.where(h, t, INF)
                 better = tm < bt
                 bt = jnp.where(better, tm, bt)
@@ -434,8 +479,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             nz = zero
             m = {k: zero for k in _MAT_FIELDS}
             for i in range(ns):
-                sel = bwin == i
-                self_ = sel.astype(F32)
+                self_ = (bwin == i).astype(F32)
                 sx, sy, sz = _normalize(hx - u("sph_o", 3 * i),
                                         hy - u("sph_o", 3 * i + 1),
                                         hz - u("sph_o", 3 * i + 2))
@@ -445,8 +489,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 for k in _MAT_FIELDS:
                     m[k] += self_ * u("sph_" + k, i)
             for i in range(npl):
-                sel = bwin == ns + i
-                self_ = sel.astype(F32)
+                self_ = (bwin == ns + i).astype(F32)
                 nx += self_ * u("pl_nrm", 3 * i)
                 nyv += self_ * u("pl_nrm", 3 * i + 1)
                 nz += self_ * u("pl_nrm", 3 * i + 2)
@@ -477,9 +520,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             b1z = zero
             for i in range(npl):
                 sel = (bwin == ns + i).astype(F32)
-                (p0x, p0y, p0z), (p1x, p1y, p1z) = _plane_basis(
-                    u("pl_nrm", 3 * i), u("pl_nrm", 3 * i + 1),
-                    u("pl_nrm", 3 * i + 2))
+                (p0x, p0y, p0z), (p1x, p1y, p1z) = plane_bases[i]
                 b0x += sel * p0x
                 b0y += sel * p0y
                 b0z += sel * p0z
@@ -500,13 +541,17 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             emit = emit_sky | emit_tex
             eidx = jnp.where(emit_sky, sky_idx, tex_idx)
             ew = jnp.where(emit_sky, f, f * m["ambient"])
-            # write at per-lane slot ec via one-hot over K
             can = emit & (ec < K)
-            for k in range(K):
-                at = can & (ec == k)
-                sl = slice(k * SUBLANES, (k + 1) * SUBLANES)
-                ev_idx_out[sl, :] = jnp.where(at, eidx, ev_idx_out[sl, :])
-                ev_w_out[sl, :] = jnp.where(at, ew, ev_w_out[sl, :])
+
+            @pl.when(jnp.any(can))
+            def _write_events():
+                cond = jnp.tile(can, (K, 1)) \
+                    & (jnp.tile(ec, (K, 1)) == levK_row)
+                ev_idx_out[:] = jnp.where(cond, jnp.tile(eidx, (K, 1)),
+                                          ev_idx_out[:])
+                ev_w_out[:] = jnp.where(cond, jnp.tile(ew, (K, 1)),
+                                        ev_w_out[:])
+
             ec = ec + can.astype(I32)
             overflow = emit & ~can
 
@@ -521,72 +566,84 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             cy2 += amb * m["rgb1"]
             cz2 += amb * m["rgb2"]
 
-            # --- per-light soft-shadow Phong (raytracing.cl:87-136) ---
             # eps-offset hit point (primitives.cl:350,380)
             phx = hx + nx * eps
             phy = hy + nyv * eps
             phz = hz + nz * eps
-            vx_, vy_, vz_ = _normalize(ox - phx, oy - phy, oz - phz)
-            new_rng = rng
-            for i in range(nl):
-                lox, loy, loz = u("li_o", 3 * i), u("li_o", 3 * i + 1), \
-                    u("li_o", 3 * i + 2)
-                lrad = u("li_r", i)
-                sdx, sdy, sdz = _normalize(lox - phx, loy - phy, loz - phz)
-                soft = zero
-                for _ in range(n_samples):
-                    new_rng, r1 = _xorshift32(new_rng)
-                    theta = two_pi * r1
-                    new_rng, r2 = _xorshift32(new_rng)
-                    phi = pi * r2
-                    sphi = jnp.sin(phi)
-                    sx = lox + lrad * sphi * jnp.cos(theta)
-                    sy = loy + lrad * sphi * jnp.sin(theta)
-                    sz = loz + lrad * jnp.cos(phi)
-                    # testShadowPath (primitives.cl:396-442)
-                    qx, qy, qz = _normalize(sx - phx, sy - phy, sz - phz)
-                    ddx = sx - phx
-                    ddy = sy - phy
-                    ddz = sz - phz
-                    tmax = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                    blocked = jnp.zeros_like(done)
-                    opac = jnp.ones_like(f)
-                    for j in range(ns):
-                        h, t = sphere_t(j, phx, phy, phz, qx, qy, qz)
-                        rel = h & (t < tmax)
-                        transp = u("sph_transparent", j) > 0.5
-                        blocked |= rel & jnp.logical_not(transp)
-                        opac *= jnp.where(rel & transp, through, 1.0)
-                    for j in range(npl):
-                        h, t = plane_t(j, phx, phy, phz, qx, qy, qz)
-                        blocked |= h & (t < tmax)
-                    soft += jnp.where(blocked, 0.0, opac)
-                if n_samples:
-                    ssr = soft / np.float32(n_samples)
-                else:
-                    ssr = soft + 1.0
-                ddx = lox - phx
-                ddy = loy - phy
-                ddz = loz - phz
-                dd = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                dd = jnp.where(dd > 0, dd, 1.0)
-                fall = inv_pi * u("li_i", i) / (dd * dd) * ssr
-                lrr = u("li_rgb", 3 * i) * fall
-                lrg = u("li_rgb", 3 * i + 1) * fall
-                lrb = u("li_rgb", 3 * i + 2) * fall
-                hxv, hyv, hzv = _normalize(vx_ + sdx, vy_ + sdy, vz_ + sdz)
-                ndh = jnp.maximum(0.0, _dot(nx, nyv, nz, hxv, hyv, hzv))
-                # floor at a denormal-ish base: pow lowers via exp*log and
-                # 0^0 on dead lanes would NaN; 1e-30^s == 0 for real s > 0
-                spec = jnp.power(jnp.maximum(ndh, np.float32(1e-30)),
-                                 m["shininess"]) * m["specular"] * fl
-                ndl = jnp.maximum(0.0, _dot(nx, nyv, nz, sdx, sdy, sdz))
-                diff = ndl * m["diffuse"] * fl
-                w_ = jnp.where(is_solid, spec + diff, 0.0)
-                cx2 += w_ * lrr
-                cy2 += w_ * lrg
-                cz2 += w_ * lrb
-            rng = jnp.where(is_solid, new_rng, rng)
+
+            # --- per-light soft-shadow Phong (raytracing.cl:87-136),
+            #     skipped wholesale when no lane hit a solid this step ---
+            def shade(rng):
+                ax = zero
+                ay = zero
+                az = zero
+                vx_, vy_, vz_ = _normalize(ox - phx, oy - phy, oz - phz)
+                for i in range(nl):
+                    lox, loy, loz = u("li_o", 3 * i), u("li_o", 3 * i + 1), \
+                        u("li_o", 3 * i + 2)
+                    lrad = u("li_r", i)
+                    sdx, sdy, sdz = _normalize(lox - phx, loy - phy,
+                                               loz - phz)
+                    soft = zero
+                    for _ in range(n_samples):
+                        rng, r1 = _xorshift32(rng)
+                        theta = two_pi * r1
+                        rng, r2 = _xorshift32(rng)
+                        phi = pi * r2
+                        sphi = jnp.sin(phi)
+                        sx = lox + lrad * sphi * jnp.cos(theta)
+                        sy = loy + lrad * sphi * jnp.sin(theta)
+                        sz = loz + lrad * jnp.cos(phi)
+                        # testShadowPath (primitives.cl:396-442)
+                        qx, qy, qz = _normalize(sx - phx, sy - phy, sz - phz)
+                        ddx = sx - phx
+                        ddy = sy - phy
+                        ddz = sz - phz
+                        tmax = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                        blocked = jnp.zeros_like(done)
+                        opac = jnp.ones_like(f)
+                        for j in range(ns):
+                            h, t = sphere_t(j, phx, phy, phz, qx, qy, qz)
+                            rel = h & (t < tmax)
+                            transp = u("sph_transparent", j) > 0.5
+                            blocked |= rel & jnp.logical_not(transp)
+                            opac *= jnp.where(rel & transp, through, 1.0)
+                        for j in range(npl):
+                            h, t = plane_t(j, phx, phy, phz, qx, qy, qz)
+                            blocked |= h & (t < tmax)
+                        soft += jnp.where(blocked, 0.0, opac)
+                    if n_samples:
+                        ssr = soft / np.float32(n_samples)
+                    else:
+                        ssr = soft + 1.0
+                    ddx = lox - phx
+                    ddy = loy - phy
+                    ddz = loz - phz
+                    dd = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    dd = jnp.where(dd > 0, dd, 1.0)
+                    fall = inv_pi * u("li_i", i) / (dd * dd) * ssr
+                    hxv, hyv, hzv = _normalize(vx_ + sdx, vy_ + sdy,
+                                               vz_ + sdz)
+                    ndh = jnp.maximum(0.0, _dot(nx, nyv, nz, hxv, hyv, hzv))
+                    # floor at a denormal-ish base: pow lowers via exp*log
+                    # and 0^0 on dead lanes would NaN; 1e-30^s==0 for s>0
+                    spec = jnp.power(jnp.maximum(ndh, np.float32(1e-30)),
+                                     m["shininess"]) * m["specular"] * fl
+                    ndl = jnp.maximum(0.0, _dot(nx, nyv, nz, sdx, sdy, sdz))
+                    diff = ndl * m["diffuse"] * fl
+                    w_ = jnp.where(is_solid, spec + diff, 0.0) * fall
+                    ax += w_ * u("li_rgb", 3 * i)
+                    ay += w_ * u("li_rgb", 3 * i + 1)
+                    az += w_ * u("li_rgb", 3 * i + 2)
+                return ax, ay, az, rng
+
+            any_solid = jnp.any(is_solid)
+            ax, ay, az, rng_sh = jax.lax.cond(
+                any_solid, shade, lambda r: (zero, zero, zero, r), rng)
+            cx2 += ax
+            cy2 += ay
+            cz2 += az
+            rng = jnp.where(is_solid, rng_sh, rng)
 
             # --- reflect / refract continuation (raytracing.cl:138-179) ---
             n2 = jnp.where(n1 == default_n, m["n"], default_n)
@@ -637,51 +694,39 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             popm = pop & (sp > 1)
             cont = is_solid & ~push
 
-            # --- stack write (one-hot over depth levels) ---
+            # --- stack write (VMEM scratch; skipped when no lane pushes) ---
             lvl_push = sp - 1
             lvl_pop = sp - 2
 
-            # stack level k lives in rows [k*S, (k+1)*S); lev_row labels each
-            # row with its level so set/get are single full-array selects
-            # (.at[].set would lower to scatter, which Mosaic can't take)
-            lev_row = jax.lax.broadcasted_iota(
-                I32, (D * SUBLANES, LANES), 0) // np.int32(SUBLANES)
+            @pl.when(jnp.any(push))
+            def _push_stack():
+                wcond = tile_d(push) & (tile_d(lvl_push) == lev_row)
+                vals = (phx, phy, phz, rdx, rdy, rdz, cx2, cy2, cz2,
+                        f_cont, n1)
+                for j, v in enumerate(vals):
+                    sl = slice(j * D * SUBLANES, (j + 1) * D * SUBLANES)
+                    stk_f[sl, :] = jnp.where(wcond, tile_d(v), stk_f[sl, :])
+                stk_i[:] = jnp.where(wcond, tile_d(dep1), stk_i[:])
 
-            def stset(arr, val, mask, lvl):
-                cond = jnp.tile(mask, (D, 1)) \
-                    & (jnp.tile(lvl, (D, 1)) == lev_row)
-                return jnp.where(cond, jnp.tile(val, (D, 1)), arr)
+            # --- stack read (skipped when no lane pops) ---
+            def read_stack(_):
+                sel = tile_d(lvl_pop) == lev_row
+                outs = []
+                for j in range(NF):
+                    sl = slice(j * D * SUBLANES, (j + 1) * D * SUBLANES)
+                    picked = jnp.where(sel, stk_f[sl, :], 0.0)
+                    outs.append(picked.reshape(
+                        D, SUBLANES, LANES).sum(axis=0))
+                di = jnp.where(sel, stk_i[:], 0)
+                outs.append(di.reshape(D, SUBLANES, LANES).sum(axis=0))
+                return tuple(outs)
 
-            def stget(arr, lvl):
-                sel = jnp.tile(lvl, (D, 1)) == lev_row
-                picked = jnp.where(sel, arr, jnp.zeros((), arr.dtype))
-                return picked.reshape(D, SUBLANES, LANES).sum(axis=0)
+            def no_stack(_):
+                return tuple([zero] * NF + [izero])
 
-            s_ox = stset(s_ox, phx, push, lvl_push)
-            s_oy = stset(s_oy, phy, push, lvl_push)
-            s_oz = stset(s_oz, phz, push, lvl_push)
-            s_dx = stset(s_dx, rdx, push, lvl_push)
-            s_dy = stset(s_dy, rdy, push, lvl_push)
-            s_dz = stset(s_dz, rdz, push, lvl_push)
-            s_cx = stset(s_cx, cx2, push, lvl_push)
-            s_cy = stset(s_cy, cy2, push, lvl_push)
-            s_cz = stset(s_cz, cz2, push, lvl_push)
-            s_dep = stset(s_dep, dep1, push, lvl_push)
-            s_f = stset(s_f, f_cont, push, lvl_push)
-            s_n = stset(s_n, n1, push, lvl_push)
-
-            r_ox = stget(s_ox, lvl_pop)
-            r_oy = stget(s_oy, lvl_pop)
-            r_oz = stget(s_oz, lvl_pop)
-            r_dx = stget(s_dx, lvl_pop)
-            r_dy = stget(s_dy, lvl_pop)
-            r_dz = stget(s_dz, lvl_pop)
-            r_cx = stget(s_cx, lvl_pop)
-            r_cy = stget(s_cy, lvl_pop)
-            r_cz = stget(s_cz, lvl_pop)
-            r_dep = stget(s_dep, lvl_pop)
-            r_f = stget(s_f, lvl_pop)
-            r_n = stget(s_n, lvl_pop)
+            (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_cx, r_cy, r_cz,
+             r_f, r_n, r_dep) = jax.lax.cond(jnp.any(popm), read_stack,
+                                             no_stack, 0)
 
             def pick4(push_v, pop_v, cont_v, keep):
                 return jnp.where(push, push_v,
@@ -712,32 +757,21 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             n_sp = sp + push.astype(I32) - popm.astype(I32)
             n_done = done_i | finish.astype(I32)
 
-            st = (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_cx, s_cy, s_cz,
-                  s_dep, s_f, s_n)
-            # track overflow count in SMEM-like register (reduced at end)
             return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_cx, n_cy, n_cz,
-                    n_f, n_n1, n_dep, n_sp, rng, n_done, st, ec,
+                    n_f, n_n1, n_dep, n_sp, rng, n_done, ec,
                     it + overflow.astype(I32))
 
-        sD = jnp.zeros((D * SUBLANES, LANES), F32)
-        sDi = jnp.zeros((D * SUBLANES, LANES), I32)
         init = (ox, oy, oz, dx, dy, dz, zero, zero, zero,
                 zero + 1.0, zero + default_n, izero, izero + 1,
                 pid, (~in_image).astype(I32),  # rng + done as i32 bits
-                (sD, sD, sD, sD, sD, sD, sD, sD, sD, sDi, sD, sD),
                 izero, izero)
 
         def cond(carry):
             return jnp.any(carry[14] == 0)
 
-        def body(carry):
-            return one_step(carry)
-
-        # bounded while: Mosaic needs a static trip bound only for fori;
-        # while_loop with a data cond is supported.
-        final = jax.lax.while_loop(cond, body, init)
+        final = jax.lax.while_loop(cond, one_step, init)
         cxf, cyf, czf = final[6], final[7], final[8]
-        over = final[17]
+        over = final[16]
 
         c_out[0 * SUBLANES:1 * SUBLANES, :] = cxf
         c_out[1 * SUBLANES:2 * SUBLANES, :] = cyf
@@ -797,27 +831,60 @@ def render_pallas(scene: Scene, assets: SceneAssets,
             jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((gy, gx, SUBLANES, LANES), jnp.int32),
         ),
+        scratch_shapes=[
+            # per-lane ray stacks (11 f32 planes + depth i32), VMEM-resident
+            # across the whole tile traversal instead of while-carried
+            pltpu.VMEM((11 * cfg.max_depth * SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((cfg.max_depth * SUBLANES, LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(uni)
 
-    # --- resolve deferred texel events: one masked gather over the atlas ---
+    # --- resolve deferred texel events -------------------------------------
+    # The event buffer has K worst-case slots but real traces populate only
+    # the first few (1 sky + ~1 texture event for most pixels; deep
+    # reflect/refract chains use more).  A full dense gather costs ~15 ms
+    # per slot at 1080p and compaction (nonzero + scatter-add) measured even
+    # slower on TPU, so: one cheap whole-buffer reduce computes which slots
+    # are used at all, then each slot's dense gather runs under a
+    # ``lax.cond`` — unused slots (usually most of K) cost nothing.
     valid = ev_idx >= 0
-    idx = jnp.where(valid, ev_idx, 0)
-    texel = jnp.take(atlas.packed, idx.reshape(-1), axis=0).reshape(idx.shape)
-    r = ((texel >> 16) & 0xFF).astype(F32) / F32(255.0)
-    g = ((texel >> 8) & 0xFF).astype(F32) / F32(255.0)
-    b = (texel & 0xFF).astype(F32) / F32(255.0)
-    w = jnp.where(valid, ev_w, 0.0)
+    skip_mode = cfg.resolved_event_skip()
+    if skip_mode:
+        used = valid.reshape(gy, gx, K, SUBLANES, LANES).any(
+            axis=(0, 1, 3, 4))                              # [K]
 
-    def fold(chan):
-        # [gy, gx, K*S, L] -> sum over K -> [gy, gx, S, L]
-        v = (w * chan).reshape(ev_idx.shape[0], ev_idx.shape[1], K,
-                               SUBLANES, LANES)
-        return v.sum(axis=2)
+    def slot_contrib(k):
+        sl = slice(k * SUBLANES, (k + 1) * SUBLANES)
+        idx_k = ev_idx[:, :, sl, :]
+        w_k = jnp.where(valid[:, :, sl, :], ev_w[:, :, sl, :], 0.0)
 
-    cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :] + fold(r)
-    cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :] + fold(g)
-    cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :] + fold(b)
+        def do(_):
+            texel = jnp.take(atlas.packed,
+                             jnp.clip(idx_k, 0, None).reshape(-1),
+                             axis=0).reshape(idx_k.shape)
+            scale = w_k / F32(255.0)
+            return (scale * ((texel >> 16) & 0xFF).astype(F32),
+                    scale * ((texel >> 8) & 0xFF).astype(F32),
+                    scale * (texel & 0xFF).astype(F32))
+
+        if not skip_mode:
+            return do(0)
+
+        def skip(_):
+            z = jnp.zeros_like(w_k)
+            return (z, z, z)
+
+        return jax.lax.cond(used[k], do, skip, 0)
+
+    cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :]
+    cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :]
+    cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :]
+    for k in range(K):
+        r_k, g_k, b_k = slot_contrib(k)
+        cx = cx + r_k
+        cy = cy + g_k
+        cz = cz + b_k
 
     # [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
     def unblock(ch):
