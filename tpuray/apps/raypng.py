@@ -11,6 +11,7 @@ image.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import time
 
 from ..camera import Camera
@@ -21,7 +22,7 @@ from ..io import GOLDEN_PNG, image_diff_stats, read_png, write_png
 from ..render import render_u8
 from ..sceneio import load_scene
 from ..textures import load_default_assets
-from ..utils.metrics import RenderReport
+from ..utils.metrics import RenderReport, profile_trace
 
 
 def main(argv=None):
@@ -38,6 +39,13 @@ def main(argv=None):
                          "out/scene.png")
     ap.add_argument("--repeat", type=int, default=1,
                     help="timed re-renders after the compile pass")
+    ap.add_argument("--engine", default="auto",
+                    choices=("auto", "pallas", "xla"))
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="wrap the timed render in a jax.profiler trace "
+                         "(view with xprof/tensorboard)")
+    ap.add_argument("--selfcheck", action="store_true",
+                    help="assert the rendered image is finite (NaN guard)")
     args = ap.parse_args(argv)
 
     scene = load_scene(args.scene).to_scene()
@@ -47,17 +55,25 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_depth=args.depth,
                        shadow_samples=args.shadow_samples,
-                       chunk_size=args.chunk_size)
+                       chunk_size=args.chunk_size, engine=args.engine)
 
     t0 = time.perf_counter()
     img = render_u8(scene, assets, cam, cfg)
     compile_s = time.perf_counter() - t0
 
+    profile_ctx = (profile_trace(args.profile) if args.profile
+                   else contextlib.nullcontext())
     best = compile_s
-    for _ in range(max(0, args.repeat - 1)):
-        t0 = time.perf_counter()
-        img = render_u8(scene, assets, cam, cfg)
-        best = min(best, time.perf_counter() - t0)
+    with profile_ctx:
+        for _ in range(max(0, args.repeat - 1)):
+            t0 = time.perf_counter()
+            img = render_u8(scene, assets, cam, cfg)
+            best = min(best, time.perf_counter() - t0)
+
+    if args.selfcheck:
+        from ..utils.debug import check_finite
+        check_finite(img, "render")
+        print("selfcheck: image finite")
 
     report = RenderReport(width=cfg.width, height=cfg.height,
                           max_depth=cfg.max_depth, seconds=best,

@@ -54,18 +54,6 @@ class RenderConfig:
             return self.event_slots
         return min(2 ** (self.max_depth + 1) - 1, 24)
 
-    # Event-resolve strategy for the Pallas engine.  Each populated slot
-    # costs one dense atlas gather; "skip" guards each slot's gather behind
-    # a lax.cond on whether the slot is used anywhere (wins for shallow
-    # traces, where most of K is empty), "dense" always gathers (wins for
-    # deep traces, where per-cond dispatch overhead exceeds the savings).
-    # "auto": skip for max_depth <= 6, dense beyond.
-    event_resolve: str = "auto"
-
-    def resolved_event_skip(self) -> bool:
-        if self.event_resolve == "auto":
-            return self.max_depth <= 6
-        return self.event_resolve == "skip"
 
     # --- active-lane compaction (XLA 'while' engine) ---
     # After `compact_after` full-width DFS steps (which finish the bulk of

@@ -772,11 +772,16 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         final = jax.lax.while_loop(cond, one_step, init)
         cxf, cyf, czf = final[6], final[7], final[8]
         over = final[16]
+        ec_final = final[15]
 
         c_out[0 * SUBLANES:1 * SUBLANES, :] = cxf
         c_out[1 * SUBLANES:2 * SUBLANES, :] = cyf
         c_out[2 * SUBLANES:3 * SUBLANES, :] = czf
-        over_out[:] = over
+        # rows [0,S): per-lane overflow count; rows [S,2S): the tile's max
+        # used event-slot count (so the host can size the resolve)
+        over_out[0 * SUBLANES:1 * SUBLANES, :] = over
+        over_out[1 * SUBLANES:2 * SUBLANES, :] = jnp.broadcast_to(
+            jnp.max(ec_final), (SUBLANES, LANES))
 
     return kernel
 
@@ -821,7 +826,7 @@ def render_pallas(scene: Scene, assets: SceneAssets,
             pl.BlockSpec((None, None, K * SUBLANES, LANES),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, SUBLANES, LANES),
+            pl.BlockSpec((None, None, 2 * SUBLANES, LANES),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -829,7 +834,7 @@ def render_pallas(scene: Scene, assets: SceneAssets,
             jax.ShapeDtypeStruct((gy, gx, 3 * SUBLANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.int32),
             jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((gy, gx, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((gy, gx, 2 * SUBLANES, LANES), jnp.int32),
         ),
         scratch_shapes=[
             # per-lane ray stacks (11 f32 planes + depth i32), VMEM-resident
@@ -849,42 +854,58 @@ def render_pallas(scene: Scene, assets: SceneAssets,
     # are used at all, then each slot's dense gather runs under a
     # ``lax.cond`` — unused slots (usually most of K) cost nothing.
     valid = ev_idx >= 0
-    skip_mode = cfg.resolved_event_skip()
-    if skip_mode:
-        used = valid.reshape(gy, gx, K, SUBLANES, LANES).any(
-            axis=(0, 1, 3, 4))                              # [K]
+    # the kernel reports each tile's max used slot count in over rows
+    # [S, 2S); one tiny reduce sizes the resolve, then ONE lax.switch picks
+    # the branch that gathers exactly that many slots (per-slot lax.cond
+    # dispatch overhead measured ~5-10 ms each on this backend)
+    slots_used = jnp.max(over[:, :, SUBLANES, 0])
 
     def slot_contrib(k):
         sl = slice(k * SUBLANES, (k + 1) * SUBLANES)
         idx_k = ev_idx[:, :, sl, :]
         w_k = jnp.where(valid[:, :, sl, :], ev_w[:, :, sl, :], 0.0)
+        texel = jnp.take(atlas.packed,
+                         jnp.clip(idx_k, 0, None).reshape(-1),
+                         axis=0).reshape(idx_k.shape)
+        scale = w_k / F32(255.0)
+        return (scale * ((texel >> 16) & 0xFF).astype(F32),
+                scale * ((texel >> 8) & 0xFF).astype(F32),
+                scale * (texel & 0xFF).astype(F32))
 
-        def do(_):
-            texel = jnp.take(atlas.packed,
-                             jnp.clip(idx_k, 0, None).reshape(-1),
-                             axis=0).reshape(idx_k.shape)
-            scale = w_k / F32(255.0)
-            return (scale * ((texel >> 16) & 0xFF).astype(F32),
-                    scale * ((texel >> 8) & 0xFF).astype(F32),
-                    scale * (texel & 0xFF).astype(F32))
+    def make_branch(u):
+        def branch(_):
+            cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :]
+            cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :]
+            cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :]
+            for k in range(u):
+                r_k, g_k, b_k = slot_contrib(k)
+                cx = cx + r_k
+                cy = cy + g_k
+                cz = cz + b_k
+            return cx, cy, cz
+        return branch
 
-        if not skip_mode:
-            return do(0)
-
-        def skip(_):
-            z = jnp.zeros_like(w_k)
-            return (z, z, z)
-
-        return jax.lax.cond(used[k], do, skip, 0)
-
-    cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :]
-    cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :]
-    cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :]
-    for k in range(K):
-        r_k, g_k, b_k = slot_contrib(k)
-        cx = cx + r_k
-        cy = cy + g_k
-        cz = cz + b_k
+    if cfg.max_depth <= 6:
+        # shallow traces: most of K is empty — one lax.switch picks the
+        # branch gathering exactly slots_used slots (coarsened in steps of
+        # 4 beyond 8 to bound compiled-branch count)
+        if K <= 8:
+            branch_slots = list(range(K + 1))
+        else:
+            branch_slots = list(range(8)) + list(range(8, K + 4, 4))
+            branch_slots = [min(u, K) for u in branch_slots]
+        branch_of = np.zeros(K + 1, np.int32)
+        for bi, u in enumerate(branch_slots):
+            prev = branch_slots[bi - 1] if bi else -1
+            for v in range(prev + 1, u + 1):
+                branch_of[v] = bi
+        cx, cy, cz = jax.lax.switch(
+            jnp.take(jnp.asarray(branch_of), jnp.clip(slots_used, 0, K)),
+            [make_branch(u) for u in branch_slots], 0)
+    else:
+        # deep traces populate most slots; the unconditional dense chain
+        # avoids conditional dispatch/copy overhead entirely
+        cx, cy, cz = make_branch(K)(0)
 
     # [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
     def unblock(ch):
