@@ -77,6 +77,37 @@ class TestUniformPacking:
 
 
 @tpu_only
+class TestGoldenFullImage:
+    """Full 800x600 depth-15 golden comparison on the Pallas engine —
+    the reference's own raypng configuration (raypng.c:8-21) against its
+    committed render (out/scene.png)."""
+
+    def test_full_golden_image(self):
+        from tpuray.io import GOLDEN_PNG, image_diff_stats, read_png
+        from tpuray.kernels.pallas_trace import (render_pallas,
+                                                 render_pallas_stats)
+        scene = load_scene(RENDER_MAP).to_scene()
+        assets = load_default_assets()
+        cfg = RenderConfig(chunk_size=0)
+        cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR,
+                     GOLDEN_CAMERA_FOV, GOLDEN_CAMERA_FOCAL)
+        basis = perspective_basis(cam, cfg.width, cfg.height)
+        img = np.asarray(jax.jit(render_pallas, static_argnames="cfg")(
+            scene, assets, basis, cfg))
+        q = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        stats = image_diff_stats(q, read_png(GOLDEN_PNG))
+        assert stats.mean_abs < 0.5, str(stats)
+        assert stats.frac_within_8 > 0.995, str(stats)
+        assert stats.psnr > 44.0, str(stats)
+
+        ev = render_pallas_stats(scene, assets, basis, cfg)
+        assert ev["max_slots_used"] <= cfg.resolved_event_slots()
+        # dropped events exist at depth 15 (capacity capped at 24) but the
+        # golden diff above proves they are below the noise floor
+        assert ev["dropped_events"] < cfg.num_pixels * 0.05
+
+
+@tpu_only
 class TestPallasVsXla:
     def test_matches_xla_tracer(self):
         from tpuray.kernels.pallas_trace import render_pallas

@@ -915,6 +915,55 @@ def render_pallas(scene: Scene, assets: SceneAssets,
     return img[:height, :width, :]
 
 
+def render_pallas_stats(scene: Scene, assets: SceneAssets,
+                        basis: PerspectiveBasis, cfg: RenderConfig) -> dict:
+    """Diagnostic render: returns {'dropped_events', 'max_slots_used'}.
+
+    ``dropped_events`` > 0 means some pixel exceeded the event-slot
+    capacity and terminal texel contributions were lost — raise
+    cfg.event_slots if the golden comparison shows it matters."""
+    width, height = cfg.width, cfg.height
+    lay = uniform_layout(scene.num_spheres, scene.num_planes,
+                         scene.num_lights)
+    atlas = build_atlas(assets)
+    uni = pack_uniforms(scene, basis, lay)
+    gx = -(-width // LANES)
+    gy = -(-height // SUBLANES)
+    K = cfg.resolved_event_slots()
+    kernel = _make_kernel(
+        lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
+              atlas.sky_h, atlas.sky_w), cfg, width, height, gx)
+    _, _, _, over = pl.pallas_call(
+        kernel,
+        grid=(gy, gx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec((None, None, 3 * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, K * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, K * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 2 * SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((gy, gx, 3 * SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((gy, gx, 2 * SUBLANES, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((11 * cfg.max_depth * SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((cfg.max_depth * SUBLANES, LANES), jnp.int32),
+        ],
+    )(uni)
+    import numpy as _np
+    over = _np.asarray(over)
+    return {"dropped_events": int(over[:, :, :SUBLANES, :].sum()),
+            "max_slots_used": int(over[:, :, SUBLANES, 0].max())}
+
+
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The Pallas engine currently covers the reference feature set
     (spheres + planes + lights); triangle scenes use the XLA tracer."""
