@@ -12,7 +12,6 @@ Whitted trace (the reverse-differentiable ``loop='scan'`` path).
 from __future__ import annotations
 
 import argparse
-import functools
 import time
 
 import jax

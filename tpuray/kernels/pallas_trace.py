@@ -39,7 +39,6 @@ path uses the XLA tracer).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

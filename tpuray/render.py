@@ -16,15 +16,12 @@ on its own worst case.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .camera import Camera, PerspectiveBasis, generate_rays, perspective_basis
 from .config import RenderConfig
-from .kernels import trace as trace_mod
 from .kernels.trace import quantize_image, trace_rays
 from .scene import Scene
 from .textures import SceneAssets

@@ -20,7 +20,7 @@ config 5); the reference supports only spheres + infinite planes.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

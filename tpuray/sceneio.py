@@ -31,8 +31,6 @@ from __future__ import annotations
 import struct
 from typing import List
 
-import numpy as np
-
 from .scene import (LightSpec, MaterialSpec, PlaneSpec, SceneSpec, SphereSpec,
                     TriangleSpec)
 
