@@ -129,3 +129,59 @@ class TestPallasVsXla:
         # identical math modulo fused-arithmetic rounding; soft-shadow RNG
         # float path differs at the last ulp -> tiny tolerance
         assert (dd < 1e-2).mean() > 0.999, f"mismatch frac {(dd >= 1e-2).mean()}"
+
+
+class TestKernelMathParity:
+    """The megakernel's helper math is plain jnp on (S,128) registers, so
+    it runs host-side: check it against the XLA tracer's primitives."""
+
+    def test_map_to_cube_matches_primitives(self):
+        from tpuray.kernels import primitives as pr
+        from tpuray.kernels.pallas_trace import _map_to_cube
+        rng = np.random.default_rng(11)
+        d = rng.normal(size=(16, 128, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        face = 1024
+        u_ref, v_ref = pr.map_to_cube(jnp.asarray(d.reshape(-1, 3)), face)
+        u_k, v_k = _map_to_cube(jnp.asarray(d[..., 0]),
+                                jnp.asarray(d[..., 1]),
+                                jnp.asarray(d[..., 2]), face)
+        np.testing.assert_array_equal(np.asarray(u_k).reshape(-1),
+                                      np.asarray(u_ref))
+        np.testing.assert_array_equal(np.asarray(v_k).reshape(-1),
+                                      np.asarray(v_ref))
+
+    def test_xorshift_i32_matches_u32(self):
+        """The kernel's i32 xorshift (logical shifts + unsigned-value
+        rebuild) must reproduce the u32 implementation bit-for-bit in
+        state and to 1 ulp in the float sample."""
+        from tpuray.kernels.primitives import xorshift32 as xs_u32
+        from tpuray.kernels.pallas_trace import _xorshift32 as xs_i32
+        state_u = jnp.asarray(
+            np.random.default_rng(5).integers(1, 2**32, 2048,
+                                              dtype=np.uint64)
+            .astype(np.uint32))
+        state_i = state_u.astype(jnp.int32)  # same bits
+        for _ in range(8):
+            state_u, samp_u = xs_u32(state_u)
+            state_i, samp_i = xs_i32(state_i)
+            np.testing.assert_array_equal(
+                np.asarray(state_u), np.asarray(state_i).astype(np.uint32))
+            np.testing.assert_allclose(np.asarray(samp_u),
+                                       np.asarray(samp_i), rtol=1e-6)
+
+    def test_plane_basis_matches_primitives(self):
+        from tpuray.kernels import primitives as pr
+        from tpuray.kernels.pallas_trace import _plane_basis
+        for n in [(0.0, 1.0, 0.0), (0.0, 0.0, -1.0), (1.0, 0.0, 0.0),
+                  (0.6, 0.8, 0.0)]:
+            b0_ref, b1_ref = pr.plane_texture_basis(
+                jnp.asarray([n], jnp.float32))
+            (b0x, b0y, b0z), (b1x, b1y, b1z) = _plane_basis(
+                jnp.float32(n[0]), jnp.float32(n[1]), jnp.float32(n[2]))
+            np.testing.assert_allclose(
+                [float(b0x), float(b0y), float(b0z)],
+                np.asarray(b0_ref)[0], atol=1e-7)
+            np.testing.assert_allclose(
+                [float(b1x), float(b1y), float(b1z)],
+                np.asarray(b1_ref)[0], atol=1e-7)
