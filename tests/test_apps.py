@@ -41,12 +41,27 @@ class TestRayview:
         assert c.y_rot == np.pi / 2 - ROT_SPEED
         c.key("8")
         assert c.x_rot == np.pi / 2 - ROT_SPEED
-        # right = cross(world_up, -dir); 'a' moves along +right
+        # right = cross(world_up, -dir) = (-1,0,0) for dir=(0,0,1);
+        # 'a' moves along -right (rayinteractive.c:60-63) -> +x
         c2 = CameraController(origin=(0, 0, 0), x_rot=np.pi / 2,
                               y_rot=np.pi / 2)
         c2.key("a")
+        np.testing.assert_allclose(c2.origin, [MOVE_SPEED, 0, 0],
+                                   atol=1e-12)
+        c2.key("d")
+        c2.key("d")
         np.testing.assert_allclose(c2.origin, [-MOVE_SPEED, 0, 0],
                                    atol=1e-12)
+        # space/shift move along the perspective up vector
+        # (cross(forward, right)), not world y, when the camera is pitched
+        c3 = CameraController(origin=(0, 0, 0), x_rot=np.pi / 4,
+                              y_rot=np.pi / 2)
+        c3.key(" ")
+        d = c3.lookdir
+        fwd = -d
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        up = np.cross(fwd, right)
+        np.testing.assert_allclose(c3.origin, up * MOVE_SPEED, atol=1e-12)
 
     def test_scripted_frames(self, tmp_path):
         from tpuray.apps import rayview

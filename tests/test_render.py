@@ -79,6 +79,7 @@ class TestShardedRender:
         basis = perspective_basis(_golden_camera(), cfg.width, cfg.height)
 
         mesh = make_mesh(8)
+        assert mesh.devices.size == 8  # the rig must actually shard
         sharded = render_sharded(scene, assets, basis, cfg, mesh)
 
         o, d = generate_rays(basis, cfg.width, cfg.height)
@@ -98,6 +99,7 @@ class TestShardedRender:
         basis = perspective_basis(_golden_camera(), cfg.width, cfg.height)
         target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
         mesh = make_mesh(8)
+        assert mesh.devices.size == 8
         loss, grads = loss_and_scene_grad_sharded(scene, assets, basis,
                                                   target, cfg, mesh)
         assert np.isfinite(float(loss)) and float(loss) > 0
@@ -236,3 +238,68 @@ class TestGradients:
         w = (miss & ground).astype(np.float32)[:, None]
         assert w.sum() >= 10
         self._check(built, w, "plane_point", (0, 1), 1e-3)
+
+
+class TestBilinearFilter:
+    """cfg.filter='bilinear' (no reference analog; the reference fetch is a
+    nearest integer read, primitives.cl:250-256).  Bilinear weights give the
+    texture lookup a spatial derivative, so hit-point motion produces
+    texture gradients that match finite differences."""
+
+    def _setup(self):
+        tex = np.zeros((1, 8, 8, 3), np.uint8)
+        tex[0, :, :, 0] = (np.arange(8)[None, :] * 20).astype(np.uint8)
+        tex[0, :, :, 1] = (np.arange(8)[:, None] * 20).astype(np.uint8)
+        tex[0, :, :, 2] = 90
+        assets = __import__("tpuray.textures", fromlist=["SceneAssets"]) \
+            .SceneAssets(textures=jnp.asarray(tex),
+                         skybox=jnp.zeros((12, 16, 3), jnp.uint8))
+        spec = SceneSpec(
+            planes=[PlaneSpec((0.0, 1.0, 0.0), (0.0, 0.0, 0.0),
+                              PLASTIC.replace(texture_id=0,
+                                              texture_scale=1.0))],
+            lights=[LightSpec((2.0, 3.0, 2.0), 0.1, 25.0, (1.0, 1.0, 1.0))],
+        )
+        cfg = RenderConfig(width=16, height=12, max_depth=1, chunk_size=0,
+                           loop="scan", scan_iters=4, shadow_samples=0,
+                           filter="bilinear")
+        # steep look-down over hit points ~ (2.5, 0, 2.5): texel coords stay
+        # inside (1, 4), away from the u=0 / u=8 wrap seams of the ramp
+        cam = Camera((2.5, 1.5, 2.5), (0.02, -0.99, 0.02), 40.0, 1.0)
+        basis = perspective_basis(cam, cfg.width, cfg.height)
+        o, d = generate_rays(basis, cfg.width, cfg.height)
+        ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+        scene = spec.to_scene()
+
+        @jax.jit
+        def loss(s):
+            rgb = trace_rays(s, assets, o, d, ids, cfg)
+            return jnp.sum(rgb * jnp.array([[0.3, 0.5, 0.2]]))
+
+        return scene, loss
+
+    def test_textured_plane_spatial_gradient_matches_fd(self):
+        scene, loss = self._setup()
+        grads = jax.jit(
+            lambda s: diff.value_and_scene_grad(loss, s)[1])(scene)
+        # moving the ground plane along y shifts every hit point, hence the
+        # (u, v) texel coords; with bilinear weights that spatial texture
+        # term is part of the analytic gradient
+        idx, eps = (0, 1), 3e-4
+        g = float(np.asarray(grads.plane_point)[idx])
+        lp = float(loss(_perturbed(scene, "plane_point", idx, +eps)))
+        lm = float(loss(_perturbed(scene, "plane_point", idx, -eps)))
+        fd = (lp - lm) / (2 * eps)
+        assert np.isfinite(g) and abs(fd) > 1e-3, (g, fd)
+        assert abs(g - fd) <= max(5e-2 * abs(fd), 2e-2), (g, fd)
+
+    def test_bilinear_reduces_to_nearest_on_flat_texture(self):
+        from tpuray.kernels.trace import sample_skybox
+        sky = jnp.full((12, 16, 3), 77, jnp.uint8)
+        d = jnp.asarray(np.random.default_rng(0).normal(size=(32, 3)),
+                        jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        near = sample_skybox(sky, d, "nearest")
+        bil = sample_skybox(sky, d, "bilinear")
+        np.testing.assert_allclose(np.asarray(bil), np.asarray(near),
+                                   atol=1e-6)

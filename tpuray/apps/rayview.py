@@ -54,19 +54,21 @@ class CameraController:
 
     def key(self, k: str) -> None:
         d = self.lookdir
-        right = np.cross([0.0, 1.0, 0.0], -d)     # cpu_ray.c:82-87 convention
+        forward = -d
+        right = np.cross([0.0, 1.0, 0.0], forward)  # cpu_ray.c:82-87
+        up = np.cross(forward, right)               # cpu_ray.c:88-91
         if k == "w":
             self.origin += d * MOVE_SPEED
         elif k == "s":
             self.origin -= d * MOVE_SPEED
-        elif k == "a":
-            self.origin += right * MOVE_SPEED
-        elif k == "d":
+        elif k == "a":                            # rayinteractive.c:60-63
             self.origin -= right * MOVE_SPEED
-        elif k == " ":
-            self.origin[1] += MOVE_SPEED
-        elif k == "_":                            # shift = down
-            self.origin[1] -= MOVE_SPEED
+        elif k == "d":                            # rayinteractive.c:65-68
+            self.origin += right * MOVE_SPEED
+        elif k == " ":                            # along the perspective up
+            self.origin += up * MOVE_SPEED        # vector, rayinteractive.c:70-73
+        elif k == "_":                            # shift = down, :75-78
+            self.origin -= up * MOVE_SPEED
         elif k == "8":                            # up arrow
             self.x_rot -= ROT_SPEED
         elif k == "2":                            # down arrow

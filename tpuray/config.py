@@ -45,28 +45,24 @@ class RenderConfig:
     engine: str = "auto"
     # Deferred texel-event slots per pixel in the Pallas engine (sky + plane
     # texture contributions resolved by one gather outside the kernel).
-    # 0 = auto: exact bound 2^(depth+1)-1 for shallow traces, capped at 16
-    # (the kernel reports overflow; raise for pathological scenes).
+    # 0 = auto: 2^(max_depth+1)-1, capped at 24.  The bound is exact only
+    # for max_depth <= 3; deeper traces can overflow (the kernel counts
+    # dropped events and render_pallas_stats / raypng surface them — raise
+    # event_slots when that happens).
     event_slots: int = 0
+    # Texture/skybox sampling: 'nearest' reproduces the reference's integer
+    # texel fetch (primitives.cl:250-256, raytracing.cl:67-76) and is what
+    # the golden comparison requires; 'bilinear' interpolates the 4
+    # neighboring texels, which also gives texture lookups a spatial
+    # derivative (hit-point gradients flow through the fractional weights).
+    filter: str = "nearest"
 
     def resolved_event_slots(self) -> int:
         if self.event_slots:
             return self.event_slots
-        return min(2 ** (self.max_depth + 1) - 1, 24)
-
-
-    # --- active-lane compaction (XLA 'while' engine) ---
-    # After `compact_after` full-width DFS steps (which finish the bulk of
-    # lanes), still-active lanes are repeatedly gathered into a buffer of
-    # `P * compact_frac` lanes and advanced `compact_steps` steps at a time.
-    # Exact per-lane semantics (incl. RNG sequence) are preserved — only
-    # the schedule changes.  compact_frac = 0 (default) disables compaction:
-    # on backends with high per-op dispatch overhead the gather/scatter
-    # rounds cost more than the masked-lane waste they save; enable on
-    # backends where vector work, not op count, dominates.
-    compact_after: int = 3
-    compact_frac: float = 0.0
-    compact_steps: int = 8
+        slots = min(2 ** (self.max_depth + 1) - 1, 24)
+        # bilinear emits 4 weighted events per texel fetch
+        return slots * 4 if self.filter == "bilinear" else slots
 
     @property
     def num_pixels(self) -> int:

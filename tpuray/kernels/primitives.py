@@ -181,14 +181,9 @@ def intersect_triangle(o, d, v0, v1, v2, eps=1e-7):
 # cubemap direction -> texel (skybox), primitives.cl:14-109
 # ---------------------------------------------------------------------------
 
-def map_to_cube(d, face_size: int):
-    """Direction -> integer texel coords in the 4x3 horizontal-cross cubemap.
-
-    Reproduces the reference's six *non-exclusive* if-blocks in source order
-    (primitives.cl:33-99): when |x| == |z| etc., the later block wins —
-    replicated here by applying the selects in the same order so later
-    conditions overwrite earlier ones.
-    """
+def _cube_face_coords(d, face_size: int):
+    """Shared core of the cubemap mapping: per-lane fractional in-face
+    coordinates (fu, fv) in [0, 1] plus the face's integer texel shifts."""
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     xp, yp, zp = x > 0, y > 0, z > 0
@@ -222,9 +217,60 @@ def map_to_cube(d, face_size: int):
     safe = jnp.where(max_axis != 0, max_axis, 1.0)
     fu = 0.5 * (uc / safe + 1.0)
     fv = 0.5 * (vc / safe + 1.0)
+    return fu, fv, shift_u, shift_v, fsf
+
+
+def map_to_cube(d, face_size: int):
+    """Direction -> integer texel coords in the 4x3 horizontal-cross cubemap.
+
+    Reproduces the reference's six *non-exclusive* if-blocks in source order
+    (primitives.cl:33-99): when |x| == |z| etc., the later block wins —
+    replicated here by applying the selects in the same order so later
+    conditions overwrite earlier ones.
+    """
+    fu, fv, shift_u, shift_v, fsf = _cube_face_coords(d, face_size)
     u = shift_u + (fu * fsf).astype(jnp.int32)
     v = shift_v + (fv * fsf).astype(jnp.int32)
     return u, v
+
+
+def map_to_cube_float(d, face_size: int):
+    """Continuous cubemap coords (uf, vf): the bilinear-filter analog of
+    :func:`map_to_cube` (truncating them reproduces the nearest fetch).
+    Differentiable w.r.t. the direction within a face."""
+    fu, fv, shift_u, shift_v, fsf = _cube_face_coords(d, face_size)
+    return (shift_u.astype(F32) + fu * fsf,
+            shift_v.astype(F32) + fv * fsf)
+
+
+def bilinear_taps(u, v, w: int, h: int, wrap: bool):
+    """4 bilinear taps for continuous texel coords (u, v) with texel values
+    located at integer coordinates: returns [(xi, yi, weight)] * 4 with
+    integer coords wrapped (euclidean modulo, tiled plane textures) or
+    clamped (skybox edges).  No reference analog (primitives.cl:250-256 is
+    a nearest integer fetch); the fractional weights are differentiable
+    w.r.t. (u, v), which is what gives texture lookups spatial gradients.
+    """
+    u0f = jnp.floor(u)
+    v0f = jnp.floor(v)
+    fu = u - u0f
+    fv = v - v0f
+    u0 = u0f.astype(jnp.int32)
+    v0 = v0f.astype(jnp.int32)
+    taps = []
+    for du, dv, wgt in ((0, 0, (1 - fu) * (1 - fv)),
+                        (1, 0, fu * (1 - fv)),
+                        (0, 1, (1 - fu) * fv),
+                        (1, 1, fu * fv)):
+        xi, yi = u0 + du, v0 + dv
+        if wrap:
+            xi = jnp.mod(xi, np.int32(w))
+            yi = jnp.mod(yi, np.int32(h))
+        else:
+            xi = jnp.clip(xi, 0, np.int32(w - 1))
+            yi = jnp.clip(yi, 0, np.int32(h - 1))
+        taps.append((xi, yi, wgt))
+    return taps
 
 
 # ---------------------------------------------------------------------------

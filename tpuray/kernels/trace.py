@@ -323,12 +323,25 @@ def find_solid_hit(scene: Scene, assets: SceneAssets, o, d,
         b0 = _take(b0_all, pl_idx)
         b1 = _take(b1_all, pl_idx)
         tex_h, tex_w = assets.textures.shape[1], assets.textures.shape[2]
-        xi, yi = pr.texture_texel_coords(b0, b1, point, mat.texture_scale,
-                                         tex_h, tex_w)
         tid = jnp.clip(mat.texture_id, 0, assets.textures.shape[0] - 1)
         flat = assets.textures.reshape(-1, 3)
-        texel = jnp.take(flat, (tid * tex_h + yi) * tex_w + xi, axis=0)
-        tex_rgb = texel.astype(F32) / F32(255.0)
+        if cfg.filter == "bilinear":
+            ui = pr.dot3(b0, point) * mat.texture_scale
+            vi = pr.dot3(b1, point) * mat.texture_scale
+            ui = jnp.where(jnp.isfinite(ui), ui, 0.0)
+            vi = jnp.where(jnp.isfinite(vi), vi, 0.0)
+            tex_rgb = jnp.zeros_like(point)
+            for xi, yi, wgt in pr.bilinear_taps(ui, vi, tex_w, tex_h,
+                                                wrap=True):
+                texel = jnp.take(flat, (tid * tex_h + yi) * tex_w + xi,
+                                 axis=0)
+                tex_rgb = tex_rgb + wgt[:, None] * texel.astype(F32)
+            tex_rgb = tex_rgb / F32(255.0)
+        else:
+            xi, yi = pr.texture_texel_coords(b0, b1, point,
+                                             mat.texture_scale, tex_h, tex_w)
+            texel = jnp.take(flat, (tid * tex_h + yi) * tex_w + xi, axis=0)
+            tex_rgb = texel.astype(F32) / F32(255.0)
         textured = is_pl & (mat.texture_id >= 0)
         mat = mat._replace(rgb=jnp.where(textured[:, None], tex_rgb, mat.rgb))
 
@@ -370,16 +383,28 @@ def test_shadow(scene: Scene, sample, point, cfg: RenderConfig):
     return jnp.where(blocked, 0.0, opacity)
 
 
-def sample_skybox(skybox: jnp.ndarray, d):
+def sample_skybox(skybox: jnp.ndarray, d, filter: str = "nearest"):
     """Skybox fetch on ray miss (raytracing.cl:61-78): map_to_cube on the
     ray direction, then a v-flipped texel read (raytracing.cl:67 fetches
     row ``height - v``; clamped here where the reference reads out of
-    bounds at the seam)."""
+    bounds at the seam).  ``filter='bilinear'`` interpolates the 4
+    neighboring texels of the continuous cubemap coordinate (no reference
+    analog; gives sky radiance a derivative w.r.t. the ray direction)."""
     sky_h, sky_w = skybox.shape[0], skybox.shape[1]
+    flat = skybox.reshape(-1, 3)
+    if filter == "bilinear":
+        uf, vf = pr.map_to_cube_float(d, sky_w // 4)
+        yf = jnp.clip(F32(sky_h) - vf, 0.0, F32(sky_h - 1))
+        xf = jnp.clip(uf, 0.0, F32(sky_w - 1))
+        texel = jnp.zeros(d.shape[:-1] + (3,), F32)
+        for xi, yi, wgt in pr.bilinear_taps(xf, yf, sky_w, sky_h,
+                                            wrap=False):
+            tap = jnp.take(flat, yi * sky_w + xi, axis=0)
+            texel = texel + wgt[..., None] * tap.astype(F32)
+        return texel / F32(255.0)
     u, v = pr.map_to_cube(d, sky_w // 4)
     y = jnp.clip(sky_h - v, 0, sky_h - 1)
     x = jnp.clip(u, 0, sky_w - 1)
-    flat = skybox.reshape(-1, 3)
     texel = jnp.take(flat, y * sky_w + x, axis=0)
     return texel.astype(F32) / F32(255.0)
 
@@ -483,7 +508,7 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
     # varying-axis types under shard_map manual sharding
     sky = jax.lax.cond(
         jnp.any(is_miss),
-        lambda d_: sample_skybox(assets.skybox, d_),
+        lambda d_: sample_skybox(assets.skybox, d_, cfg.filter),
         lambda d_: d_ * F32(0.0),
         st.d)
 
@@ -601,77 +626,6 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
                       s_dep=s_dep, s_f=s_f, s_n=s_n, it=st.it + 1)
 
 
-_COMPACT_STATE_FIELDS = tuple(f for f in TraceState._fields if f != "it")
-
-
-def _state_take(st: TraceState, idx) -> TraceState:
-    """Gather the per-lane state at ``idx`` (lane axis is the last-but-vec
-    axis: axis 0 for registers, axis 1 for the [D, P, ...] stacks)."""
-    kw = {}
-    for f in _COMPACT_STATE_FIELDS:
-        arr = getattr(st, f)
-        axis = arr.ndim - 1 if f.startswith("s_") else 0  # stacks: lanes last
-        kw[f] = jnp.take(arr, idx, axis=axis)
-    return st._replace(**kw)
-
-
-def _state_put(st: TraceState, sub: TraceState, idx) -> TraceState:
-    """Scatter ``sub``'s lanes back into ``st`` at ``idx`` (out-of-range
-    indices — the padding fill — are dropped)."""
-    kw = {}
-    for f in _COMPACT_STATE_FIELDS:
-        arr = getattr(st, f)
-        val = getattr(sub, f)
-        if f.startswith("s_"):
-            if arr.ndim == 3:
-                kw[f] = arr.at[:, :, idx].set(val, mode="drop")
-            else:
-                kw[f] = arr.at[:, idx].set(val, mode="drop")
-        else:
-            kw[f] = arr.at[idx].set(val, mode="drop")
-    return st._replace(**kw)
-
-
-def _trace_while_compacted(scene: Scene, assets: SceneAssets,
-                           cfg: RenderConfig, st: TraceState) -> TraceState:
-    """The DFS machine with active-lane compaction.
-
-    The lockstep while-loop pays max-lane iterations for every lane: at
-    1080p depth-4 the worst lane needs ~24 DFS steps but the median lane
-    needs 2, so ~87% of the vector work is masked-off lanes.  Since each
-    lane's traversal is independent, lanes can be *reordered* freely:
-
-    1. run a few full-width steps (the bulk of lanes finish),
-    2. then repeatedly gather the still-active lanes into a buffer of
-       ``P * compact_frac`` lanes (``jnp.nonzero`` with static size),
-       advance only that buffer ``compact_steps`` DFS steps, and scatter it
-       back — until every lane is done.
-
-    Per-lane execution order and RNG sequence are untouched, so the result
-    is bit-identical to the uncompacted loop; only the schedule changes.
-    More actives than the buffer just means more rounds (no bias, no drop).
-    """
-    p = st.o.shape[0]
-    phase1 = min(cfg.compact_after, cfg.max_iters)
-    step = lambda _, s: _trace_step(scene, assets, cfg, s)  # noqa: E731
-    st = jax.lax.fori_loop(0, phase1, step, st)
-
-    cap = max(256, int(p * cfg.compact_frac))
-    cap = min(cap, p)
-
-    def round_cond(s: TraceState):
-        return jnp.any(~s.done) & (s.it < cfg.max_iters)
-
-    def round_body(s: TraceState):
-        (idx,) = jnp.nonzero(~s.done, size=cap, fill_value=p)
-        sub = _state_take(s, jnp.clip(idx, 0, p - 1))
-        sub = sub._replace(done=sub.done | (idx >= p), it=s.it)
-        sub = jax.lax.fori_loop(0, cfg.compact_steps, step, sub)
-        return _state_put(s, sub, idx)._replace(it=sub.it)
-
-    return jax.lax.while_loop(round_cond, round_body, st)
-
-
 def trace_rays(scene: Scene, assets: SceneAssets, o, d, pixel_ids,
                cfg: RenderConfig) -> jnp.ndarray:
     """Trace a batch of rays to completion.  Returns linear rgb [P, 3]
@@ -679,9 +633,7 @@ def trace_rays(scene: Scene, assets: SceneAssets, o, d, pixel_ids,
     raytracing.cl:193)."""
     st = _init_state(o, d, pixel_ids, cfg)
 
-    if cfg.loop == "while" and cfg.compact_frac:
-        st = _trace_while_compacted(scene, assets, cfg, st)
-    elif cfg.loop == "while":
+    if cfg.loop == "while":
         def cond(s: TraceState):
             return jnp.any(~s.done) & (s.it < cfg.max_iters)
 

@@ -38,9 +38,22 @@ AXIS = "tiles"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over the first n_devices (default: all)."""
+    """1-D mesh over the first n_devices (default: all).
+
+    Raises when fewer devices are available than requested — a silently
+    degraded 1-device mesh would make sharding tests pass without testing
+    sharding (tests force an 8-virtual-device CPU backend in conftest.py).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are available on backend "
+                f"{jax.default_backend()!r}; for CPU testing set "
+                f"JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices}")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (AXIS,))
 
@@ -107,8 +120,8 @@ def loss_and_scene_grad_sharded(
     origins = jnp.pad(origins, ((0, pad), (0, 0)))
     dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
     ids = jnp.pad(jnp.arange(n_pix, dtype=jnp.uint32), (0, pad))
-    # padded lanes: target == render of the zero-dir ray is NOT guaranteed;
-    # kill their loss contribution by matching target to the traced value.
+    # padded lanes are excluded from the loss via the `valid` mask
+    # (jnp.arange(padded) < n_pix); their target is just zero-padded.
     target = jnp.pad(target.reshape(-1, 3), ((0, pad), (0, 0)))
     valid = (jnp.arange(padded) < n_pix).astype(jnp.float32)[:, None]
 

@@ -31,10 +31,16 @@ def save_pytree(path: str, tree: Any, step: int = 0) -> None:
 def load_pytree(path: str, like: Any) -> Tuple[Any, int]:
     """Restore a pytree saved by :func:`save_pytree`.
 
-    ``like`` supplies the tree structure (leaf order must match, which holds
-    for any pytree with the same structure as the one saved)."""
+    ``like`` supplies the tree structure; it is validated against the
+    treedef stored by :func:`save_pytree` so a mismatched structure fails
+    loudly instead of silently assigning leaves to the wrong positions."""
     with np.load(path) as z:
         step = int(z["__step__"])
         leaves, treedef = jax.tree.flatten(like)
+        saved_treedef = json.loads(bytes(z["__treedef__"]).decode())
+        if saved_treedef != str(treedef):
+            raise ValueError(
+                f"checkpoint {path!r} was saved with tree structure\n  "
+                f"{saved_treedef}\nbut `like` has\n  {treedef}")
         restored = [z[f"leaf_{i}"] for i in range(len(leaves))]
         return jax.tree.unflatten(treedef, restored), step
