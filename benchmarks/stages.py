@@ -80,7 +80,8 @@ def main(argv=None):
         4: ("3840x2160_depth6", pallas, scene,
             RenderConfig(width=3840, height=2160, max_depth=6,
                          chunk_size=0)),
-        5: ("512x384_depth3_mesh7k", xla, mesh_benchmark_scene(4).to_scene(),
+        5: ("512x384_depth3_mesh7k", pallas,
+            mesh_benchmark_scene(4).to_scene(),
             RenderConfig(width=512, height=384, max_depth=3, chunk_size=0)),
     }
 

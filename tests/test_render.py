@@ -7,6 +7,8 @@ apps/raypng.py on TPU; CPU CI uses every Nth pixel to stay fast).  The
 soft-shadow RNG is seeded by absolute pixel id (raytracing.cl:32-34), so a
 traced subset reproduces those exact pixels.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -70,44 +72,60 @@ class TestGoldenParity:
 
 
 class TestShardedRender:
+    """Sharding runs in a scrubbed-env subprocess on 8 virtual CPU devices.
+
+    In-process the axon TPU plugin (registered from sitecustomize before
+    conftest runs) pins a 1-device backend, so an in-process "sharding"
+    test would not shard — see tests/sharding_subproc.py."""
+
+    _result = None
+
+    @classmethod
+    def _run(cls):
+        if cls._result is None:
+            import subprocess
+            import sys
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)   # disables axon plugin
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = env.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                env["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count=8"
+                ).strip()
+            script = os.path.join(os.path.dirname(__file__),
+                                  "sharding_subproc.py")
+            proc = subprocess.run(
+                [sys.executable, script], env=env, capture_output=True,
+                text=True, timeout=1200)
+            cls._result = proc
+        return cls._result
+
+    def _assert_ok(self, name):
+        proc = self._run()
+        assert f"ok {name}" in proc.stdout, (
+            f"check {name!r} did not pass:\n--- stdout\n{proc.stdout}"
+            f"\n--- stderr\n{proc.stderr[-3000:]}")
+
+    def test_mesh_has_8_devices(self):
+        self._assert_ok("mesh8")
+
     def test_sharded_matches_single_device(self):
-        from tpuray.parallel.shard import make_mesh, render_sharded
-        spec = _tiny_scene()
-        scene = spec.to_scene()
-        assets = solid_assets()
-        cfg = RenderConfig(width=64, height=32, max_depth=3, chunk_size=0)
-        basis = perspective_basis(_golden_camera(), cfg.width, cfg.height)
-
-        mesh = make_mesh(8)
-        assert mesh.devices.size == 8  # the rig must actually shard
-        sharded = render_sharded(scene, assets, basis, cfg, mesh)
-
-        o, d = generate_rays(basis, cfg.width, cfg.height)
-        ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
-        ref = trace_rays(scene, assets, o, d, ids, cfg).reshape(
-            cfg.height, cfg.width, 3)
-        np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
-                                   atol=1e-5)
+        self._assert_ok("forward")
 
     def test_sharded_grad_runs_and_is_finite(self):
-        from tpuray.parallel.shard import (loss_and_scene_grad_sharded,
-                                           make_mesh)
-        scene = _tiny_scene().to_scene()
-        assets = solid_assets()
-        cfg = RenderConfig(width=32, height=16, max_depth=2, chunk_size=0,
-                           loop="scan", scan_iters=8)
-        basis = perspective_basis(_golden_camera(), cfg.width, cfg.height)
-        target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
-        mesh = make_mesh(8)
-        assert mesh.devices.size == 8
-        loss, grads = loss_and_scene_grad_sharded(scene, assets, basis,
-                                                  target, cfg, mesh)
-        assert np.isfinite(float(loss)) and float(loss) > 0
-        leaves = [g for g in jax.tree.leaves(grads) if g is not None]
-        assert leaves and all(np.all(np.isfinite(np.asarray(g)))
-                              for g in leaves)
-        # light intensity must receive nonzero gradient
-        assert np.any(np.asarray(grads.light_intensity) != 0)
+        self._assert_ok("grad")
+
+    def test_megakernel_under_shard_map(self):
+        self._assert_ok("pallas")
+
+    def test_distributed_bootstrap_single_process(self):
+        self._assert_ok("distributed")
+
+    def test_subprocess_completed(self):
+        proc = self._run()
+        assert proc.returncode == 0 and "SHARDING_OK" in proc.stdout, (
+            f"--- stdout\n{proc.stdout}\n--- stderr\n{proc.stderr[-3000:]}")
 
 
 def _get(tree, path):

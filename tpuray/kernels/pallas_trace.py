@@ -39,6 +39,7 @@ path uses the XLA tracer).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -93,6 +94,7 @@ def uniform_layout(n_spheres: int, n_planes: int, n_lights: int
         cur += count
 
     alloc("basis", 14)          # corner3, origin3, up3, right3, wf, hf
+    alloc("row0", 1)            # first image row of this shard (0 unsharded)
     alloc("sph_o", 3 * n_spheres)
     alloc("sph_r", n_spheres)
     for f in _MAT_FIELDS:
@@ -117,13 +119,16 @@ def _mat_values(mat, i):
 
 
 def pack_uniforms(scene: Scene, basis: PerspectiveBasis,
-                  lay: UniformLayout) -> jnp.ndarray:
+                  lay: UniformLayout, row0=0.0) -> jnp.ndarray:
     """Flatten scene+basis into the uniform array (pure jnp: differentiable
-    and jit-safe; value changes don't recompile)."""
+    and jit-safe; value changes don't recompile).  ``row0`` is the global
+    image row of this shard's first row (row sharding keeps ray dirs and
+    the per-pixel RNG seed bit-identical to the unsharded render)."""
     parts = [basis.corner.astype(F32), basis.origin.astype(F32),
              basis.up.astype(F32), basis.right.astype(F32),
              jnp.stack([basis.w_factor.astype(F32),
-                        basis.h_factor.astype(F32)])]
+                        basis.h_factor.astype(F32)]),
+             jnp.asarray(row0, F32).reshape(1)]
     parts.append(scene.sphere_origin.reshape(-1).astype(F32))
     parts.append(scene.sphere_radius.astype(F32))
     sm = scene.sphere_mat
@@ -173,6 +178,133 @@ def build_atlas(assets: SceneAssets) -> TexelAtlas:
                       tex_h=tex.shape[1], tex_w=tex.shape[2],
                       n_textures=tex.shape[0], sky_base=t.shape[0],
                       sky_h=sky.shape[0], sky_w=sky.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# triangle meshes: per-block matmul constants (the megakernel's triangle
+# extension; BASELINE.json config 5 — the reference has no triangles)
+# ---------------------------------------------------------------------------
+
+TRI_TB = 512          # triangles per VMEM matmul block
+TRI_ATTR_ROWS = 16    # nx, ny, nz + the 13 _MAT_FIELDS
+TRI_TRANSP_ROW = 3 + _MAT_FIELDS.index("transparent")
+# VMEM budget cap: b_lhs (160 B/tri) + attr (64 B/tri) + pair temps must
+# leave room for the ray stacks and event buffers in ~16 MB of VMEM
+TRI_MAX_TRIANGLES = 32768
+_TRI_CULL = True      # debug toggle: False = brute-force every block
+_TRI_DEBUG = int(os.environ.get("TPURAY_TRI_DEBUG", "0"))
+
+
+class TriBlocks(NamedTuple):
+    b_lhs: jnp.ndarray   # [10, nblk*4*TB] Moller-Trumbore matmul blocks
+    attr: jnp.ndarray    # [TRI_ATTR_ROWS, nblk*TB] winner-extraction table
+    aabb: jnp.ndarray    # [nblk*6] per-block bounds (lo3 ++ hi3), SMEM
+    nblk: int
+
+
+def _mat_columns(mat, concrete: bool = False) -> list:
+    """Material table as per-field [T] f32 columns, _MAT_FIELDS order.
+
+    ``concrete=True`` slices host-side numpy copies so no trace ops touch
+    the data (see build_tri_blocks on why that matters)."""
+    if concrete:
+        cv = lambda a: np.asarray(a, np.float32)     # noqa: E731
+        rgb = cv(mat.rgb)
+        return [rgb[:, 0], rgb[:, 1], rgb[:, 2], cv(mat.ambient),
+                cv(mat.diffuse), cv(mat.specular), cv(mat.shininess),
+                cv(mat.transparent), cv(mat.dielectric), cv(mat.n),
+                cv(mat.reflectivity), cv(mat.texture_id),
+                cv(mat.texture_scale)]
+    return [mat.rgb[:, 0], mat.rgb[:, 1], mat.rgb[:, 2], mat.ambient,
+            mat.diffuse, mat.specular, mat.shininess,
+            mat.transparent.astype(F32), mat.dielectric.astype(F32),
+            mat.n, mat.reflectivity, mat.texture_id.astype(F32),
+            mat.texture_scale]
+
+
+def build_tri_blocks(scene: Scene) -> "TriBlocks | None":
+    """Pure-jnp per-triangle constants for the in-kernel MXU intersection.
+
+    Moller-Trumbore for ray (o, d) and triangle (v0, e1=v1-v0, e2=v2-v0):
+        det   = -d . n                 (n = e1 x e2)
+        t*det = o . n - v0 . n
+        u*det = (o x d) . e2 + d . (v0 x e2)
+        v*det = -(o x d) . e1 - d . (v0 x e1)
+    i.e. every pair quantity is a dot of the ray features [o, d, o x d, 1]
+    with a per-triangle 10-vector — columns of ``b_lhs``.  Both device
+    tables keep the TRIANGLE axis on the 128-lane (minor) dim: a
+    triangle-major layout pads the 10/16-wide minor dim to 128 lanes and
+    wastes ~10x VMEM (a 7k-triangle scene overflows the 16 MB scoped
+    budget).  Zero-padded columns are degenerate (det == 0 -> never hit);
+    block AABBs pad with the last real triangle so culling stays tight.
+
+    Concrete scenes are preprocessed on the HOST in numpy.  This is the
+    natural place for per-scene table building, and it is also
+    load-bearing: when the table computation is traced with the scene as
+    a closed-over jit constant, XLA's constant folding on the axon
+    backend silently drops the face-normal normalization (the kernel's
+    attr buffer receives raw e1 x e2 while the identical computation
+    read back on the host, or run with the scene as a jit argument, is
+    correctly unit-length).  Tracers (scene passed as a jit/shard_map
+    argument) take the equivalent jnp path, which compiles correctly."""
+    t_count = scene.num_triangles
+    if t_count == 0:
+        return None
+    concrete = not any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree.leaves((scene.tri_v0, scene.tri_v1,
+                                     scene.tri_v2, scene.tri_mat)))
+    xp = np if concrete else jnp
+    nblk = -(-t_count // TRI_TB)
+    tp = nblk * TRI_TB
+    pad = tp - t_count
+
+    def as_f32(a):
+        return np.asarray(a, np.float32) if concrete else a.astype(F32)
+
+    v0 = as_f32(scene.tri_v0)
+    v1 = as_f32(scene.tri_v1)
+    v2 = as_f32(scene.tri_v2)
+    z3 = xp.zeros((pad, 3), F32)
+    v0z, v1z, v2z = (xp.concatenate([v, z3]) for v in (v0, v1, v2))
+    e1 = v1z - v0z
+    e2 = v2z - v0z
+    n = xp.cross(e1, e2)
+    m1 = xp.cross(v0z, e2)
+    m2 = xp.cross(v0z, e1)
+    c0 = xp.sum(v0z * n, axis=1)
+
+    zc = xp.zeros((tp, 3), F32)
+    z1 = xp.zeros((tp, 1), F32)
+    det_r = xp.concatenate([zc, -n, zc, z1], axis=1)
+    tn_r = xp.concatenate([n, zc, zc, -c0[:, None]], axis=1)
+    un_r = xp.concatenate([zc, m1, e2, z1], axis=1)
+    vn_r = xp.concatenate([zc, -m2, -e1, z1], axis=1)
+    full = xp.stack([det_r, tn_r, un_r, vn_r])               # [4, Tp, 10]
+    b_lhs = full.reshape(4, nblk, TRI_TB, 10).transpose(3, 1, 0, 2) \
+        .reshape(10, nblk * 4 * TRI_TB)
+
+    nn = n / xp.maximum(
+        xp.sqrt(xp.sum(n * n, axis=1, keepdims=True)), np.float32(1e-30))
+    zpad = xp.zeros((pad,), F32)
+    cols = [nn[:, 0], nn[:, 1], nn[:, 2]] + \
+        [xp.concatenate([as_f32(c), zpad]) for c in
+         _mat_columns(scene.tri_mat, concrete)]
+    attr = xp.stack(cols)                                    # [16, Tp]
+
+    rep = lambda v: xp.concatenate(                          # noqa: E731
+        [v, xp.repeat(v[-1:], pad, axis=0)])
+    v0e, v1e, v2e = rep(v0), rep(v1), rep(v2)
+    lo = xp.minimum(xp.minimum(v0e, v1e), v2e) \
+        .reshape(nblk, TRI_TB, 3).min(axis=1)
+    hi = xp.maximum(xp.maximum(v0e, v1e), v2e) \
+        .reshape(nblk, TRI_TB, 3).max(axis=1)
+    aabb = xp.concatenate([lo, hi], axis=1).reshape(-1)      # [nblk*6]
+    if concrete:
+        b_lhs = b_lhs.astype(np.float32)
+        attr = attr.astype(np.float32)
+        aabb = aabb.astype(np.float32)
+    return TriBlocks(b_lhs=b_lhs, attr=attr, aabb=aabb, nblk=nblk)
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +398,7 @@ def _plane_basis(nx, ny, nz):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
-                 width: int, height: int, gx: int):
+                 width: int, height: int, gx: int, nblk: int = 0):
     """Builds the tile kernel closure.  All loop bounds / offsets static.
 
     v2 structure (after profiling the v1 kernel at ~116 us/DFS-step):
@@ -302,14 +434,23 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
     NF = 11  # f32 stack planes: o(3), d(3), c(3), f, n
 
-    _counts = {"basis": 14, "sph_o": 3 * ns, "sph_r": ns,
+    _counts = {"basis": 14, "row0": 1, "sph_o": 3 * ns, "sph_r": ns,
                "pl_nrm": 3 * npl, "pl_pt": 3 * npl,
                "li_o": 3 * nl, "li_r": nl, "li_i": nl, "li_rgb": 3 * nl}
     for _f in _MAT_FIELDS:
         _counts["sph_" + _f] = ns
         _counts["pl_" + _f] = npl
 
-    def kernel(uni, c_out, ev_idx_out, ev_w_out, over_out, stk_f, stk_i):
+    def kernel(*refs):
+        if nblk:
+            # triangle scenes: AABBs in SMEM, matmul blocks + attrs in VMEM
+            uni, tri_aabb, tri_b, tri_attr = refs[:4]
+            outs = refs[4:]
+        else:
+            uni = refs[0]
+            tri_aabb = tri_b = tri_attr = None
+            outs = refs[1:]
+        c_out, ev_idx_out, ev_w_out, over_out, stk_f, stk_i = outs
         ty = pl.program_id(0)
         tx = pl.program_id(1)
 
@@ -325,11 +466,14 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         lcol = jax.lax.broadcasted_iota(I32, (SUBLANES, LANES), 1)
         row = ty * SUBLANES + srow
         col = tx * LANES + lcol
-        pid = row * width + col
+        # global row: local row + the shard's first row (0 unsharded), so
+        # row-sharded renders keep bit-identical dirs and RNG pixel ids
+        row_g = row + u("row0").astype(I32)
+        pid = row_g * width + col
         in_image = (row < height) & (col < width)
 
         w_scale = u("basis", 12) * col.astype(F32)
-        h_scale = u("basis", 13) * row.astype(F32)
+        h_scale = u("basis", 13) * row_g.astype(F32)
         vx = u("basis", 0) + u("basis", 9) * w_scale - u("basis", 6) * h_scale
         vy = u("basis", 1) + u("basis", 10) * w_scale - u("basis", 7) * h_scale
         vz = u("basis", 2) + u("basis", 11) * w_scale - u("basis", 8) * h_scale
@@ -406,6 +550,179 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 u("pl_nrm", 3 * i), u("pl_nrm", 3 * i + 1),
                 u("pl_nrm", 3 * i + 2)))
 
+        # ---- brute-force ray x triangle queries on the MXU ----------------
+        # Moller-Trumbore's det / t*det / u*det / v*det are bilinear in the
+        # per-ray features [o, d, o x d, 1] and per-triangle constants
+        # [n, v0 x e2, v0 x e1, e1, e2, v0.n], so one [10,128] feature
+        # matrix per sublane row against a [4*TB, 10] triangle block gives
+        # every pair quantity in a single MXU matmul; validity uses the
+        # sign trick (u >= 0 <=> u_num*det >= 0).  Matches the XLA path
+        # (primitives.py:intersect_triangle) up to matmul rounding; same
+        # brute-force no-BVH model as the reference's closest-hit loop
+        # (primitives.cl:322-394), generalized to triangles.
+        TB = TRI_TB
+
+        def tri_features(s, px, py, pz, qx, qy, qz):
+            """[10, 128] feature matrix for sublane row s of a ray tile."""
+            o1, o2, o3 = px[s:s + 1, :], py[s:s + 1, :], pz[s:s + 1, :]
+            d1, d2, d3 = qx[s:s + 1, :], qy[s:s + 1, :], qz[s:s + 1, :]
+            c1 = o2 * d3 - o3 * d2
+            c2 = o3 * d1 - o1 * d3
+            c3 = o1 * d2 - o2 * d1
+            return jnp.concatenate(
+                [o1, o2, o3, d1, d2, d3, c1, c2, c3,
+                 jnp.ones((1, LANES), F32)], axis=0)
+
+        def tri_pair_ts(b, feat):
+            """[TB, 128] per-pair hit t for block b (INF = no hit).
+
+            precision=HIGHEST: the TPU MXU multiplies f32 inputs in
+            bfloat16 by default, which costs ~3 decimal digits on det/t —
+            enough to flip edge sign tests and admit near-zero self-hit t
+            values whose degenerate hit points NaN the view-vector
+            normalize downstream.  Full-f32 passes keep the pair math at
+            XLA-tracer accuracy."""
+            blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]       # [10, 4*TB]
+            M = jax.lax.dot_general(
+                blk, feat, (((0,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=jax.lax.Precision.HIGHEST)        # [4*TB, 128]
+            det = M[0 * TB:1 * TB, :]
+            tn = M[1 * TB:2 * TB, :]
+            un = M[2 * TB:3 * TB, :]
+            vn = M[3 * TB:4 * TB, :]
+            okv = (jnp.abs(det) > np.float32(1e-7)) & (un * det >= 0) \
+                & (vn * det >= 0) & ((un + vn - det) * det <= 0) \
+                & (tn * det > 0)
+            return jnp.where(okv, tn / jnp.where(det == 0, 1.0, det), INF)
+
+        def tri_transp_col(b):
+            """[TB, 1] per-triangle transparent flag for block b."""
+            row = tri_attr[TRI_TRANSP_ROW:TRI_TRANSP_ROW + 1,
+                           pl.ds(b * TB, TB)]
+            return jnp.transpose(row)
+
+        def tri_cull(b, s, px, py, pz, qx, qy, qz, act_s, bound_s):
+            """Scalar: does any active lane's [0, bound] segment hit block
+            b's AABB?  Conservative slab test (near-parallel axes get a
+            signed tiny direction, which only widens the interval)."""
+            o_s = (px[s:s + 1, :], py[s:s + 1, :], pz[s:s + 1, :])
+            d_s = (qx[s:s + 1, :], qy[s:s + 1, :], qz[s:s + 1, :])
+            tmn = jnp.zeros((1, LANES), F32)
+            tmx = bound_s
+            for k in range(3):
+                lo = tri_aabb[b * 6 + k]
+                hi = tri_aabb[b * 6 + 3 + k]
+                safe = jnp.where(jnp.abs(d_s[k]) < np.float32(1e-12),
+                                 np.float32(1e-12), d_s[k])
+                inv = 1.0 / safe
+                t0 = (lo - o_s[k]) * inv
+                t1 = (hi - o_s[k]) * inv
+                tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+            return jnp.any((tmx >= tmn) & (tmx >= 0) & act_s)
+
+        def tri_closest(px, py, pz, qx, qy, qz, act, lt, bt):
+            """Closest triangle + winner attrs + light-occlusion, whole tile.
+
+            Returns (t_tri [S,L] (INF miss), attrs list of 16 [S,L] regs
+            (nx,ny,nz + material fields), lblock_tri [S,L] bool).  Blocks
+            beyond max(bt, lt) for every lane are AABB-culled (they can
+            affect neither the closest hit nor light occlusion)."""
+            t_rows, a_rows, lb_rows = [], [], []
+            for s in range(SUBLANES):
+                feat = tri_features(s, px, py, pz, qx, qy, qz)
+                act_s = act[s:s + 1, :]
+                lt_s = lt[s:s + 1, :]
+                bound_s = jnp.maximum(
+                    bt[s:s + 1, :],
+                    jnp.where(lt_s < INF, lt_s, 0.0))
+
+                def body(b, carry, feat=feat, act_s=act_s, lt_s=lt_s,
+                         bound_s=bound_s, s=s):
+                    def hit_branch(c):
+                        tb_c, pick_c, lb_c = c
+                        tv = tri_pair_ts(b, feat)
+                        tmin = jnp.min(tv, axis=0, keepdims=True)
+                        ridx = jax.lax.broadcasted_iota(I32, (TB, LANES), 0)
+                        first = jnp.min(
+                            jnp.where(tv == tmin, ridx, np.int32(TB)),
+                            axis=0, keepdims=True)
+                        oh = ((ridx == first) & (tv < INF)).astype(F32)
+                        attr_blk = tri_attr[:, pl.ds(b * TB, TB)]
+                        # one-hot pick: HIGHEST so normals/materials are
+                        # not rounded to bf16 on the MXU
+                        picked = jnp.dot(attr_blk, oh,
+                                         preferred_element_type=F32,
+                                         precision=jax.lax.Precision.HIGHEST)
+                        tr = tri_transp_col(b)
+                        rel = (tv < INF) & (tv <= lt_s) & (tr < 0.5)
+                        lb_new = jnp.max(rel.astype(F32), axis=0,
+                                         keepdims=True)
+                        better = tmin < tb_c
+                        return (jnp.where(better, tmin, tb_c),
+                                jnp.where(better, picked, pick_c),
+                                jnp.maximum(lb_c, lb_new))
+
+                    if _TRI_CULL:
+                        return jax.lax.cond(
+                            tri_cull(b, s, px, py, pz, qx, qy, qz, act_s,
+                                     bound_s),
+                            hit_branch, lambda c: c, carry)
+                    return hit_branch(carry)
+
+                init = (jnp.full((1, LANES), INF),
+                        jnp.zeros((TRI_ATTR_ROWS, LANES), F32),
+                        jnp.zeros((1, LANES), F32))
+                tb_s, pick_s, lb_s = jax.lax.fori_loop(0, nblk, body, init)
+                t_rows.append(tb_s)
+                a_rows.append(pick_s)
+                lb_rows.append(lb_s)
+            t_tri = jnp.concatenate(t_rows, axis=0)
+            lb_tri = jnp.concatenate(lb_rows, axis=0) > 0.5
+            attrs = [jnp.concatenate([a_rows[s][j:j + 1, :]
+                                      for s in range(SUBLANES)], axis=0)
+                     for j in range(TRI_ATTR_ROWS)]
+            return t_tri, attrs, lb_tri
+
+        def tri_feeler(px, py, pz, qx, qy, qz, tmax, act):
+            """Shadow-feeler triangle test, whole tile: (blocked [S,L] bool,
+            opacity multiplier [S,L] = 0.8^#transparent-crossings), the
+            triangle extension of testShadowPath (primitives.cl:396-442)."""
+            bl_rows, cnt_rows = [], []
+            for s in range(SUBLANES):
+                feat = tri_features(s, px, py, pz, qx, qy, qz)
+                act_s = act[s:s + 1, :]
+                tmx_s = tmax[s:s + 1, :]
+
+                def body(b, carry, feat=feat, act_s=act_s, tmx_s=tmx_s,
+                         s=s):
+                    def hit_branch(c):
+                        bl_c, cnt_c = c
+                        tv = tri_pair_ts(b, feat)
+                        tr = tri_transp_col(b)
+                        rel = (tv < INF) & (tv < tmx_s)
+                        bl_new = jnp.max((rel & (tr < 0.5)).astype(F32),
+                                         axis=0, keepdims=True)
+                        cnt_new = jnp.sum((rel & (tr > 0.5)).astype(F32),
+                                          axis=0, keepdims=True)
+                        return (jnp.maximum(bl_c, bl_new), cnt_c + cnt_new)
+
+                    return jax.lax.cond(
+                        tri_cull(b, s, px, py, pz, qx, qy, qz, act_s,
+                                 tmx_s),
+                        hit_branch, lambda c: c, carry)
+
+                init = (jnp.zeros((1, LANES), F32),
+                        jnp.zeros((1, LANES), F32))
+                bl_s, cnt_s = jax.lax.fori_loop(0, nblk, body, init)
+                bl_rows.append(bl_s)
+                cnt_rows.append(cnt_s)
+            blocked = jnp.concatenate(bl_rows, axis=0) > 0.5
+            cnt = jnp.concatenate(cnt_rows, axis=0)
+            opac = jnp.exp(cnt * np.float32(np.log(cfg.transparent_through)))
+            return blocked, opac
+
         def one_step(carry):
             (ox, oy, oz, dx, dy, dz, cx, cy, cz, f, n1, dep, sp, rng,
              done_i, ec, it) = carry
@@ -439,7 +756,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             for i in range(npl):
                 h, t = pln[i]
                 lblock |= h & (t <= lt)
-            light_hit = light_any & ~lblock
+            # (light_hit is finalized after the triangle query below, which
+            # also contributes occluders)
             # light color w/ the (1/d*d)==1 quirk (primitives.cl:287)
             lr0 = zero
             lr1 = zero
@@ -466,6 +784,15 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 better = tm < bt
                 bt = jnp.where(better, tm, bt)
                 bwin = jnp.where(better, np.int32(ns + i), bwin)
+
+            # --- triangle closest hit + light occlusion (MXU blocks) ---
+            if nblk:
+                t_tri, tri_attrs, lb_tri = tri_closest(
+                    ox, oy, oz, dx, dy, dz, do_work, lt, bt)
+                lblock |= lb_tri
+                tri_better = t_tri < bt   # strict: analytics win ties, as
+                bt = jnp.where(tri_better, t_tri, bt)  # in trace.py:290-292
+            light_hit = light_any & ~lblock
             solid_hit = jnp.isfinite(bt)
             t_safe = jnp.where(solid_hit, bt, 0.0)
             hx = ox + dx * t_safe
@@ -494,6 +821,35 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 nz += self_ * u("pl_nrm", 3 * i + 2)
                 for k in _MAT_FIELDS:
                     m[k] += self_ * u("pl_" + k, i)
+            if nblk:
+                # winning triangle overrides the sphere/plane one-hots;
+                # face normal is double-faced (trace.py:306-310)
+                tnx, tny, tnz = tri_attrs[0], tri_attrs[1], tri_attrs[2]
+                flip = (tnx * dx + tny * dy + tnz * dz) > 0
+                tnx = jnp.where(flip, -tnx, tnx)
+                tny = jnp.where(flip, -tny, tny)
+                tnz = jnp.where(flip, -tnz, tnz)
+                nx = jnp.where(tri_better, tnx, nx)
+                nyv = jnp.where(tri_better, tny, nyv)
+                nz = jnp.where(tri_better, tnz, nz)
+                for k, name in enumerate(_MAT_FIELDS):
+                    m[name] = jnp.where(tri_better, tri_attrs[3 + k],
+                                        m[name])
+
+            if _TRI_DEBUG and nblk:
+                # diagnostic modes: dump first-bounce quantities into the
+                # color planes and stop.  1 = (tri t, |n|^2, merged t);
+                # 2 = raw picked triangle normal (pre-flip, pre-merge)
+                if _TRI_DEBUG == 2:
+                    return (ox, oy, oz, dx, dy, dz,
+                            tri_attrs[0], tri_attrs[1], tri_attrs[2],
+                            f, n1, dep, sp, rng, jnp.ones_like(done_i),
+                            ec, it)
+                dbg_t = jnp.where(jnp.isfinite(t_tri), t_tri, -1.0)
+                dbg_n = nx * nx + nyv * nyv + nz * nz
+                dbg_b = jnp.where(jnp.isfinite(bt), bt, -1.0)
+                return (ox, oy, oz, dx, dy, dz, dbg_t, dbg_n, dbg_b,
+                        f, n1, dep, sp, rng, jnp.ones_like(done_i), ec, it)
 
             is_light = do_work & light_hit
             is_miss = do_work & ~light_hit & ~solid_hit
@@ -508,6 +864,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
             # plane texture flat index (primitives.cl:217-259)
             is_plane_hit = bwin >= ns
+            if nblk:
+                is_plane_hit = is_plane_hit & ~tri_better
             tex_id = m["texture_id"]
             # texture_id >= 0 (f32 compare is exact for small ints)
             textured = is_solid & is_plane_hit & (tex_id > -0.5)
@@ -610,6 +968,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         for j in range(npl):
                             h, t = plane_t(j, phx, phy, phz, qx, qy, qz)
                             blocked |= h & (t < tmax)
+                        if nblk:
+                            t_bl, t_op = tri_feeler(phx, phy, phz,
+                                                    qx, qy, qz, tmax,
+                                                    is_solid)
+                            blocked |= t_bl
+                            opac *= t_op
                         soft += jnp.where(blocked, 0.0, opac)
                     if n_samples:
                         ssr = soft / np.float32(n_samples)
@@ -789,19 +1153,18 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def render_pallas(scene: Scene, assets: SceneAssets,
-                  basis: PerspectiveBasis, cfg: RenderConfig,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Forward render via the Pallas megakernel.
+def _pallas_forward(scene: Scene, assets: SceneAssets,
+                    basis: PerspectiveBasis, cfg: RenderConfig,
+                    interpret: bool, row0):
+    """Shared pallas_call wiring for render_pallas / render_pallas_stats.
 
-    Returns float32 linear rgb [H, W, 3] (same semantics as the XLA tracer;
-    scenes with triangles fall back to the XLA path upstream).
-    """
+    Returns (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K)."""
     width, height = cfg.width, cfg.height
     lay = uniform_layout(scene.num_spheres, scene.num_planes,
                          scene.num_lights)
     atlas = build_atlas(assets)
-    uni = pack_uniforms(scene, basis, lay)
+    uni = pack_uniforms(scene, basis, lay, row0)
+    tri = build_tri_blocks(scene)
 
     gx = -(-width // LANES)
     gy = -(-height // SUBLANES)
@@ -809,12 +1172,23 @@ def render_pallas(scene: Scene, assets: SceneAssets,
 
     kernel = _make_kernel(
         lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
-              atlas.sky_h, atlas.sky_w), cfg, width, height, gx)
+              atlas.sky_h, atlas.sky_w), cfg, width, height, gx,
+        nblk=tri.nblk if tri else 0)
+
+    if tri:
+        inputs = (uni, tri.aabb, tri.b_lhs, tri.attr)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        inputs = (uni,)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     c_blk, ev_idx, ev_w, over = pl.pallas_call(
         kernel,
         grid=(gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((None, None, 3 * SUBLANES, LANES),
                          lambda i, j: (i, j, 0, 0),
@@ -842,69 +1216,69 @@ def render_pallas(scene: Scene, assets: SceneAssets,
             pltpu.VMEM((cfg.max_depth * SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(uni)
+    )(*inputs)
+    return c_blk, ev_idx, ev_w, over, atlas, gx, gy, K
+
+
+def render_pallas(scene: Scene, assets: SceneAssets,
+                  basis: PerspectiveBasis, cfg: RenderConfig,
+                  interpret: bool = False, row0=0.0) -> jnp.ndarray:
+    """Forward render via the Pallas megakernel.
+
+    Returns float32 linear rgb [H, W, 3] (same semantics as the XLA
+    tracer, including the triangle extension — meshes run as MXU matmul
+    blocks inside the kernel).  ``row0``: global image row of the first
+    rendered row (row-sharded rendering).
+    """
+    width, height = cfg.width, cfg.height
+    c_blk, ev_idx, ev_w, over, atlas, gx, gy, K = _pallas_forward(
+        scene, assets, basis, cfg, interpret, row0)
 
     # --- resolve deferred texel events -------------------------------------
     # The event buffer has K worst-case slots but real traces populate only
     # the first few (1 sky + ~1 texture event for most pixels; deep
-    # reflect/refract chains use more).  A full dense gather costs ~15 ms
-    # per slot at 1080p and compaction (nonzero + scatter-add) measured even
-    # slower on TPU, so: one cheap whole-buffer reduce computes which slots
-    # are used at all, then each slot's dense gather runs under a
-    # ``lax.cond`` — unused slots (usually most of K) cost nothing.
-    valid = ev_idx >= 0
-    # the kernel reports each tile's max used slot count in over rows
-    # [S, 2S); one tiny reduce sizes the resolve, then ONE lax.switch picks
-    # the branch that gathers exactly that many slots (per-slot lax.cond
-    # dispatch overhead measured ~5-10 ms each on this backend)
+    # reflect/refract chains use more).  The resolve is ONE fused expression
+    # per branch: a single gather over the first u slots + one weighted
+    # reduce across the slot axis.  The kernel reports each tile's max used
+    # slot count in over rows [S, 2S); a tiny reduce sizes the resolve and
+    # one ``lax.switch`` picks the branch that gathers exactly that many
+    # slots (the gather itself is HBM-latency-bound at ~6 ns/element, so
+    # gathering only used slots is the main lever).
     slots_used = jnp.max(over[:, :, SUBLANES, 0])
-
-    def slot_contrib(k):
-        sl = slice(k * SUBLANES, (k + 1) * SUBLANES)
-        idx_k = ev_idx[:, :, sl, :]
-        w_k = jnp.where(valid[:, :, sl, :], ev_w[:, :, sl, :], 0.0)
-        texel = jnp.take(atlas.packed,
-                         jnp.clip(idx_k, 0, None).reshape(-1),
-                         axis=0).reshape(idx_k.shape)
-        scale = w_k / F32(255.0)
-        return (scale * ((texel >> 16) & 0xFF).astype(F32),
-                scale * ((texel >> 8) & 0xFF).astype(F32),
-                scale * (texel & 0xFF).astype(F32))
 
     def make_branch(u):
         def branch(_):
             cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :]
             cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :]
             cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :]
-            for k in range(u):
-                r_k, g_k, b_k = slot_contrib(k)
-                cx = cx + r_k
-                cy = cy + g_k
-                cz = cz + b_k
+            if u == 0:
+                return cx, cy, cz
+            idx = ev_idx[:, :, :u * SUBLANES, :].reshape(
+                gy, gx, u, SUBLANES, LANES)
+            w = ev_w[:, :, :u * SUBLANES, :].reshape(
+                gy, gx, u, SUBLANES, LANES)
+            texel = jnp.take(atlas.packed, jnp.clip(idx, 0, None), axis=0)
+            scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
+            cx = cx + (scale * ((texel >> 16) & 0xFF).astype(F32)).sum(axis=2)
+            cy = cy + (scale * ((texel >> 8) & 0xFF).astype(F32)).sum(axis=2)
+            cz = cz + (scale * (texel & 0xFF).astype(F32)).sum(axis=2)
             return cx, cy, cz
         return branch
 
-    if cfg.max_depth <= 6:
-        # shallow traces: most of K is empty — one lax.switch picks the
-        # branch gathering exactly slots_used slots (coarsened in steps of
-        # 4 beyond 8 to bound compiled-branch count)
-        if K <= 8:
-            branch_slots = list(range(K + 1))
-        else:
-            branch_slots = list(range(8)) + list(range(8, K + 4, 4))
-            branch_slots = [min(u, K) for u in branch_slots]
-        branch_of = np.zeros(K + 1, np.int32)
-        for bi, u in enumerate(branch_slots):
-            prev = branch_slots[bi - 1] if bi else -1
-            for v in range(prev + 1, u + 1):
-                branch_of[v] = bi
-        cx, cy, cz = jax.lax.switch(
-            jnp.take(jnp.asarray(branch_of), jnp.clip(slots_used, 0, K)),
-            [make_branch(u) for u in branch_slots], 0)
+    # coarsened branch list bounds compiled-branch count at large K
+    if K <= 8:
+        branch_slots = list(range(K + 1))
     else:
-        # deep traces populate most slots; the unconditional dense chain
-        # avoids conditional dispatch/copy overhead entirely
-        cx, cy, cz = make_branch(K)(0)
+        branch_slots = list(range(8)) + list(range(8, K + 4, 4))
+        branch_slots = [min(u, K) for u in branch_slots]
+    branch_of = np.zeros(K + 1, np.int32)
+    for bi, u in enumerate(branch_slots):
+        prev = branch_slots[bi - 1] if bi else -1
+        for v in range(prev + 1, u + 1):
+            branch_of[v] = bi
+    cx, cy, cz = jax.lax.switch(
+        jnp.take(jnp.asarray(branch_of), jnp.clip(slots_used, 0, K)),
+        [make_branch(u) for u in branch_slots], 0)
 
     # [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
     def unblock(ch):
@@ -921,42 +1295,8 @@ def render_pallas_stats(scene: Scene, assets: SceneAssets,
     ``dropped_events`` > 0 means some pixel exceeded the event-slot
     capacity and terminal texel contributions were lost — raise
     cfg.event_slots if the golden comparison shows it matters."""
-    width, height = cfg.width, cfg.height
-    lay = uniform_layout(scene.num_spheres, scene.num_planes,
-                         scene.num_lights)
-    atlas = build_atlas(assets)
-    uni = pack_uniforms(scene, basis, lay)
-    gx = -(-width // LANES)
-    gy = -(-height // SUBLANES)
-    K = cfg.resolved_event_slots()
-    kernel = _make_kernel(
-        lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
-              atlas.sky_h, atlas.sky_w), cfg, width, height, gx)
-    _, _, _, over = pl.pallas_call(
-        kernel,
-        grid=(gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(
-            pl.BlockSpec((None, None, 3 * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, K * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, K * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 2 * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((gy, gx, 3 * SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((gy, gx, 2 * SUBLANES, LANES), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((11 * cfg.max_depth * SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((cfg.max_depth * SUBLANES, LANES), jnp.int32),
-        ],
-    )(uni)
+    _, _, _, over, _, _, _, _ = _pallas_forward(
+        scene, assets, basis, cfg, False, 0.0)
     import numpy as _np
     over = _np.asarray(over)
     return {"dropped_events": int(over[:, :, :SUBLANES, :].sum()),
@@ -964,6 +1304,8 @@ def render_pallas_stats(scene: Scene, assets: SceneAssets,
 
 
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
-    """The Pallas engine currently covers the reference feature set
-    (spheres + planes + lights); triangle scenes use the XLA tracer."""
-    return scene.num_triangles == 0
+    """The Pallas engine covers the full feature set — spheres, planes,
+    lights, textures, skybox AND triangle meshes (in-kernel MXU blocks) —
+    up to the VMEM budget for the triangle tables; beyond that the XLA
+    tracer takes over."""
+    return scene.num_triangles <= TRI_MAX_TRIANGLES

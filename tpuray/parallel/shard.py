@@ -93,6 +93,45 @@ def render_sharded(scene: Scene, assets: SceneAssets, basis: PerspectiveBasis,
     return rgb[:n_pix].reshape(cfg.height, cfg.width, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "interpret"))
+def render_sharded_pallas(scene: Scene, assets: SceneAssets,
+                          basis: PerspectiveBasis, cfg: RenderConfig,
+                          mesh: Mesh, interpret: bool = False) -> jnp.ndarray:
+    """Forward render on the Pallas megakernel with image ROWS sharded over
+    ``mesh`` (scene + assets replicated — they are small next to the ray
+    state, exactly the reference's everything-on-one-device model scaled
+    out, SURVEY.md §2 parallelism table).
+
+    Each device renders a contiguous row block with its own pallas_call,
+    passing the shard's first global row as the kernel's ``row0`` uniform —
+    ray directions and the per-pixel RNG seed are computed from the GLOBAL
+    row index, so the sharded render is bit-identical to the unsharded one.
+    Zero cross-chip communication in the forward pass.  ``interpret=True``
+    runs the kernel in Pallas interpret mode (CPU meshes / virtual-device
+    tests).
+    """
+    from ..kernels.pallas_trace import render_pallas
+
+    n = mesh.devices.size
+    rows_per = -(-cfg.height // n)
+    sub_cfg = cfg.replace(height=rows_per)
+
+    # check_vma=False: every input is replicated and the per-device output
+    # varies only through axis_index (row0), which the varying-mesh-axes
+    # checker cannot see through a pallas_call's ShapeDtypeStructs
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(AXIS), check_vma=False)
+    def shard_render(scene_, assets_, basis_):
+        row0 = (jax.lax.axis_index(AXIS) * rows_per).astype(jnp.float32)
+        return render_pallas(scene_, assets_, basis_, sub_cfg,
+                             interpret=interpret, row0=row0)
+
+    img = shard_render(scene, assets, basis)
+    return img[:cfg.height]
+
+
 def _local_loss(scene: Scene, assets: SceneAssets, o, d, pid, target,
                 cfg: RenderConfig):
     rgb = trace_rays(scene, assets, o, d, pid, cfg)
@@ -145,13 +184,18 @@ def loss_and_scene_grad_sharded(
 
 
 def dryrun(n_devices: int) -> None:
-    """Compile + execute one sharded forward and one sharded forward+grad
-    step over an ``n_devices`` mesh on tiny shapes (driver hook)."""
+    """Compile + execute one sharded forward, one sharded forward+grad
+    step, and one megakernel-under-shard_map render (interpret mode on
+    CPU meshes) over an ``n_devices`` mesh on tiny shapes (driver hook).
+    Also exercises the multi-host bootstrap path (a no-op single-process,
+    SURVEY.md §5 distributed backend)."""
     from ..camera import Camera, perspective_basis
     from ..config import (GOLDEN_CAMERA_LOOKDIR, GOLDEN_CAMERA_ORIGIN)
     from ..scene import canonical_scene_spec
     from ..textures import solid_assets
+    from . import distributed
 
+    distributed.ensure_initialized()
     mesh = make_mesh(n_devices)
     scene = canonical_scene_spec().to_scene()
     assets = solid_assets()
@@ -163,6 +207,12 @@ def dryrun(n_devices: int) -> None:
     img = render_sharded(scene, assets, basis, cfg, mesh)
     img.block_until_ready()
     assert img.shape == (cfg.height, cfg.width, 3)
+
+    interp = jax.default_backend() == "cpu"
+    pimg = render_sharded_pallas(scene, assets, basis, cfg, mesh,
+                                 interpret=interp)
+    pimg.block_until_ready()
+    assert pimg.shape == (cfg.height, cfg.width, 3)
 
     target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
     loss, grads = loss_and_scene_grad_sharded(scene, assets, basis, target,
