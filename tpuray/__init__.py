@@ -19,7 +19,9 @@ Layer map (reference -> here):
 
 from .camera import Camera, PerspectiveBasis, generate_rays, perspective_basis
 from .config import RenderConfig
-from .render import render, render_from_basis, render_u8
+from .diff import render_pallas_diff
+from .render import (render, render_from_basis, render_from_basis_checked,
+                     render_u8)
 from .scene import (GLASS, MIRROR, PLASTIC, STONE, LightSpec, MaterialSpec,
                     Materials, PlaneSpec, Scene, SceneSpec, SphereSpec,
                     TriangleSpec, build_scene, canonical_scene_spec)

@@ -57,12 +57,28 @@ class RenderConfig:
     # derivative (hit-point gradients flow through the fractional weights).
     filter: str = "nearest"
 
+    # Node-record slots per pixel for the Pallas record-mode forward (the
+    # saved-path replay VJP saves one record per DFS node: packed hit id +
+    # parent slot + branch, plus per-light soft-shadow ratios).  0 = auto:
+    # 2^(max_depth+1)-1 capped at 48 (parent slots are 6-bit, so <= 64).
+    # Overflowing nodes lose their subtree's gradient contribution (counted
+    # and reported by render_pallas_record).
+    record_slots: int = 0
+
     def resolved_event_slots(self) -> int:
         if self.event_slots:
             return self.event_slots
         slots = min(2 ** (self.max_depth + 1) - 1, 24)
         # bilinear emits 4 weighted events per texel fetch
         return slots * 4 if self.filter == "bilinear" else slots
+
+    def resolved_record_slots(self) -> int:
+        if self.record_slots:
+            if not 1 <= self.record_slots <= 64:
+                raise ValueError("record_slots must be in [1, 64] (parent "
+                                 "slots are 6-bit)")
+            return self.record_slots
+        return min(2 ** (self.max_depth + 1) - 1, 48)
 
     @property
     def num_pixels(self) -> int:

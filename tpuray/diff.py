@@ -8,12 +8,17 @@ material flags — structural).  These helpers split/rejoin the two so
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from .camera import PerspectiveBasis
+from .config import RenderConfig
 from .scene import Scene
+from .textures import SceneAssets
 
 
 def _is_float_leaf(x) -> bool:
@@ -49,3 +54,59 @@ def value_and_scene_grad(fn: Callable[..., jnp.ndarray], scene: Scene,
 
 def l2_image_loss(rendered: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((rendered - target) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Megakernel custom VJP: Pallas forward, saved-path replay backward
+# ---------------------------------------------------------------------------
+
+def _zero_cotangent(tree):
+    """Cotangent pytree for a primal that carries no gradient: float leaves
+    get zeros, integer/bool leaves get float0 (JAX's unit tangent type)."""
+    def leaf(x):
+        if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), jax.dtypes.float0)
+    return jax.tree.map(leaf, tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def render_pallas_diff(scene: Scene, assets: SceneAssets,
+                       basis: PerspectiveBasis, cfg: RenderConfig):
+    """Differentiable megakernel render.
+
+    Forward: the Pallas tile megakernel (record mode — same image, plus
+    per-node path records).  Backward: AD through the dense replay tracer
+    (kernels/replay.py), which reshades the recorded paths analytically —
+    no primitive search, no shadow feelers, no while loop.  Gradients flow
+    to every float leaf of ``scene`` and to the camera ``basis``; the u8
+    texture/skybox ``assets`` get zero cotangents (they are inputs, not
+    parameters).  North-star requirement (BASELINE.json: gradients via
+    custom VJPs); the scan-tracer equivalence is tested in
+    tests/test_pallas_vjp.py.
+    """
+    from .kernels.pallas_trace import render_pallas
+    return render_pallas(scene, assets, basis, cfg)
+
+
+def _rpd_fwd(scene, assets, basis, cfg):
+    from .kernels.pallas_trace import render_pallas_record
+    img, records = render_pallas_record(scene, assets, basis, cfg)
+    return img, (scene, assets, basis, records)
+
+
+def _rpd_bwd(cfg, res, g):
+    from .kernels.replay import replay_render
+    scene, assets, basis, records = res
+    d_scene, d_rest = partition(scene)
+
+    def replay(d, b):
+        return replay_render(combine(d, d_rest), assets, b, records, cfg)
+
+    _, vjp = jax.vjp(replay, d_scene, basis)
+    gd_scene, g_basis = vjp(g)
+    g_scene = combine(gd_scene, _zero_cotangent(d_rest))
+    return g_scene, _zero_cotangent(assets), g_basis
+
+
+render_pallas_diff.defvjp(_rpd_fwd, _rpd_bwd)

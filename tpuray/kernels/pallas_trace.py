@@ -398,7 +398,8 @@ def _plane_basis(nx, ny, nz):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
-                 width: int, height: int, gx: int, nblk: int = 0):
+                 width: int, height: int, gx: int, nblk: int = 0,
+                 record: bool = False):
     """Builds the tile kernel closure.  All loop bounds / offsets static.
 
     v2 structure (after profiling the v1 kernel at ~116 us/DFS-step):
@@ -423,6 +424,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
     K = cfg.resolved_event_slots()
     # numpy scalars: python-level constants folded into the kernel (a
     # jnp scalar would be a captured traced constant, which pallas rejects)
+    Krec = cfg.resolved_record_slots() if record else 0
     eps = np.float32(cfg.epsilon)
     through = np.float32(cfg.transparent_through)
     default_n = np.float32(cfg.default_n)
@@ -450,7 +452,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             uni = refs[0]
             tri_aabb = tri_b = tri_attr = None
             outs = refs[1:]
-        c_out, ev_idx_out, ev_w_out, over_out, stk_f, stk_i = outs
+        if record:
+            (c_out, ev_idx_out, ev_w_out, over_out, rec_out, ssr_out,
+             stk_f, stk_i, stk_p) = outs
+        else:
+            c_out, ev_idx_out, ev_w_out, over_out, stk_f, stk_i = outs
+            rec_out = ssr_out = stk_p = None
         ty = pl.program_id(0)
         tx = pl.program_id(1)
 
@@ -489,12 +496,22 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         ev_w_out[:] = jnp.zeros((K * SUBLANES, LANES), F32)
         stk_f[:] = jnp.zeros((NF * D * SUBLANES, LANES), F32)
         stk_i[:] = jnp.zeros((D * SUBLANES, LANES), I32)
+        if record:
+            rec_out[:] = jnp.full((Krec * SUBLANES, LANES), EV_NONE)
+            ssr_out[:] = jnp.zeros((nl * Krec * SUBLANES, LANES), F32)
+            stk_p[:] = jnp.zeros((D * SUBLANES, LANES), I32)
 
         # row-of-stack -> level label, for masked level-indexed access
         lev_row = jax.lax.broadcasted_iota(
             I32, (D * SUBLANES, LANES), 0) // np.int32(SUBLANES)
         levK_row = jax.lax.broadcasted_iota(
             I32, (K * SUBLANES, LANES), 0) // np.int32(SUBLANES)
+        if record:
+            levR_row = jax.lax.broadcasted_iota(
+                I32, (Krec * SUBLANES, LANES), 0) // np.int32(SUBLANES)
+
+        def tile_r(x):
+            return jnp.tile(x, (Krec, 1))
 
         def tile_d(x):
             return jnp.tile(x, (D, 1))
@@ -725,7 +742,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
         def one_step(carry):
             (ox, oy, oz, dx, dy, dz, cx, cy, cz, f, n1, dep, sp, rng,
-             done_i, ec, it) = carry
+             done_i, ec, it, rec_cnt, pcode) = carry
             # done carried as i32 (Mosaic while loops cannot yield i1
             # vectors); all mask logic below uses the bool view
             done = done_i != 0
@@ -934,6 +951,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 ax = zero
                 ay = zero
                 az = zero
+                ssrs = []
                 vx_, vy_, vz_ = _normalize(ox - phx, oy - phy, oz - phz)
                 for i in range(nl):
                     lox, loy, loz = u("li_o", 3 * i), u("li_o", 3 * i + 1), \
@@ -979,6 +997,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         ssr = soft / np.float32(n_samples)
                     else:
                         ssr = soft + 1.0
+                    ssrs.append(ssr)
                     ddx = lox - phx
                     ddy = loy - phy
                     ddz = loz - phz
@@ -998,15 +1017,55 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     ax += w_ * u("li_rgb", 3 * i)
                     ay += w_ * u("li_rgb", 3 * i + 1)
                     az += w_ * u("li_rgb", 3 * i + 2)
-                return ax, ay, az, rng
+                return (ax, ay, az, rng) + tuple(ssrs)
 
             any_solid = jnp.any(is_solid)
-            ax, ay, az, rng_sh = jax.lax.cond(
-                any_solid, shade, lambda r: (zero, zero, zero, r), rng)
+            shaded = jax.lax.cond(
+                any_solid, shade,
+                lambda r: (zero, zero, zero, r) + (zero,) * nl, rng)
+            ax, ay, az, rng_sh = shaded[:4]
+            ssrs = shaded[4:]
             cx2 += ax
             cy2 += ay
             cz2 += az
             rng = jnp.where(is_solid, rng_sh, rng)
+
+            # --- node record emission (saved-path replay VJP) ---
+            # One record per DFS node: packed hit code (8 bits: sphere /
+            # plane index, 64+l for light l, 127 for miss) | parent byte
+            # << 8 (6-bit parent slot + branch bit 0x40 + valid bit 0x80).
+            # The replay tracer (kernels/replay.py) reconstructs rays,
+            # throughputs and shading differentiably from these plus the
+            # recorded per-light soft-shadow ratios (the only RNG-dependent
+            # quantities; piecewise-constant w.r.t. scene params).
+            if record:
+                node_slot = rec_cnt
+                can_rec = do_work & (node_slot < Krec)
+                codev = jnp.where(
+                    is_light, np.int32(64) + lwin,
+                    jnp.where(is_miss, np.int32(127), bwin))
+                packed = codev | (pcode << np.int32(8))
+
+                @pl.when(jnp.any(can_rec))
+                def _write_rec():
+                    condr = tile_r(can_rec) & (tile_r(node_slot) == levR_row)
+                    rec_out[:] = jnp.where(condr, tile_r(packed), rec_out[:])
+                    for li in range(nl):
+                        sl = slice(li * Krec * SUBLANES,
+                                   (li + 1) * Krec * SUBLANES)
+                        ssr_out[sl, :] = jnp.where(
+                            condr, tile_r(ssrs[li]), ssr_out[sl, :])
+
+                # children of an overflowed node get a parentless code (0):
+                # the replay drops their subtree (counted via rec_cnt)
+                ok_par = node_slot < Krec
+                pc_refl = jnp.where(ok_par, np.int32(0x80) | node_slot,
+                                    izero)
+                pc_refr = jnp.where(ok_par, np.int32(0xC0) | node_slot,
+                                    izero)
+                rec_cnt = rec_cnt + do_work.astype(I32)
+            else:
+                pc_refl = pc_refr = izero
 
             # --- reflect / refract continuation (raytracing.cl:138-179) ---
             n2 = jnp.where(n1 == default_n, m["n"], default_n)
@@ -1070,6 +1129,9 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     sl = slice(j * D * SUBLANES, (j + 1) * D * SUBLANES)
                     stk_f[sl, :] = jnp.where(wcond, tile_d(v), stk_f[sl, :])
                 stk_i[:] = jnp.where(wcond, tile_d(dep1), stk_i[:])
+                if record:
+                    # the stacked child is the REFLECTED ray
+                    stk_p[:] = jnp.where(wcond, tile_d(pc_refl), stk_p[:])
 
             # --- stack read (skipped when no lane pops) ---
             def read_stack(_):
@@ -1082,14 +1144,18 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         D, SUBLANES, LANES).sum(axis=0))
                 di = jnp.where(sel, stk_i[:], 0)
                 outs.append(di.reshape(D, SUBLANES, LANES).sum(axis=0))
+                if record:
+                    dp = jnp.where(sel, stk_p[:], 0)
+                    outs.append(dp.reshape(D, SUBLANES, LANES).sum(axis=0))
                 return tuple(outs)
 
             def no_stack(_):
-                return tuple([zero] * NF + [izero])
+                return tuple([zero] * NF + [izero] * (2 if record else 1))
 
+            rs = jax.lax.cond(jnp.any(popm), read_stack, no_stack, 0)
             (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_cx, r_cy, r_cz,
-             r_f, r_n, r_dep) = jax.lax.cond(jnp.any(popm), read_stack,
-                                             no_stack, 0)
+             r_f, r_n, r_dep) = rs[:NF + 1]
+            r_pc = rs[NF + 1] if record else izero
 
             def pick4(push_v, pop_v, cont_v, keep):
                 return jnp.where(push, push_v,
@@ -1119,15 +1185,21 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             n_n1 = jnp.where(push, n2, jnp.where(popm, r_n, n1))
             n_sp = sp + push.astype(I32) - popm.astype(I32)
             n_done = done_i | finish.astype(I32)
+            if record:
+                n_pc = jnp.where(push, pc_refr,
+                                 jnp.where(popm, r_pc,
+                                           jnp.where(cont, pc_refl, pcode)))
+            else:
+                n_pc = pcode
 
             return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_cx, n_cy, n_cz,
                     n_f, n_n1, n_dep, n_sp, rng, n_done, ec,
-                    it + overflow.astype(I32))
+                    it + overflow.astype(I32), rec_cnt, n_pc)
 
         init = (ox, oy, oz, dx, dy, dz, zero, zero, zero,
                 zero + 1.0, zero + default_n, izero, izero + 1,
                 pid, (~in_image).astype(I32),  # rng + done as i32 bits
-                izero, izero)
+                izero, izero, izero, izero)
 
         def cond(carry):
             return jnp.any(carry[14] == 0)
@@ -1145,6 +1217,11 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         over_out[0 * SUBLANES:1 * SUBLANES, :] = over
         over_out[1 * SUBLANES:2 * SUBLANES, :] = jnp.broadcast_to(
             jnp.max(ec_final), (SUBLANES, LANES))
+        if record:
+            # row block 2: the tile's max node count (> Krec => the replay
+            # lost some subtree contributions; raise cfg.record_slots)
+            over_out[2 * SUBLANES:3 * SUBLANES, :] = jnp.broadcast_to(
+                jnp.max(final[17]), (SUBLANES, LANES))
 
     return kernel
 
@@ -1155,25 +1232,34 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
 def _pallas_forward(scene: Scene, assets: SceneAssets,
                     basis: PerspectiveBasis, cfg: RenderConfig,
-                    interpret: bool, row0):
-    """Shared pallas_call wiring for render_pallas / render_pallas_stats.
+                    interpret: bool, row0, record: bool = False):
+    """Shared pallas_call wiring for render_pallas / render_pallas_stats /
+    render_pallas_record.
 
-    Returns (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K)."""
+    Returns (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K) and, with
+    ``record=True``, additionally (rec, ssr) node-record buffers."""
     width, height = cfg.width, cfg.height
     lay = uniform_layout(scene.num_spheres, scene.num_planes,
                          scene.num_lights)
     atlas = build_atlas(assets)
     uni = pack_uniforms(scene, basis, lay, row0)
     tri = build_tri_blocks(scene)
+    if record and tri:
+        raise ValueError(
+            "record mode (the replay VJP) does not support triangle scenes "
+            "yet; use the XLA scan tracer for mesh gradients")
 
     gx = -(-width // LANES)
     gy = -(-height // SUBLANES)
     K = cfg.resolved_event_slots()
+    Krec = cfg.resolved_record_slots()
+    nl = lay.n_lights
+    nover = 3 if record else 2
 
     kernel = _make_kernel(
         lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
               atlas.sky_h, atlas.sky_w), cfg, width, height, gx,
-        nblk=tri.nblk if tri else 0)
+        nblk=tri.nblk if tri else 0, record=record)
 
     if tri:
         inputs = (uni, tri.aabb, tri.b_lhs, tri.attr)
@@ -1185,38 +1271,43 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
         inputs = (uni,)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
-    c_blk, ev_idx, ev_w, over = pl.pallas_call(
+    def blk(rows, dtype):
+        return (pl.BlockSpec((None, None, rows, LANES),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                jax.ShapeDtypeStruct((gy, gx, rows, LANES), dtype))
+
+    specs = [blk(3 * SUBLANES, jnp.float32),
+             blk(K * SUBLANES, jnp.int32),
+             blk(K * SUBLANES, jnp.float32),
+             blk(nover * SUBLANES, jnp.int32)]
+    if record:
+        specs.append(blk(Krec * SUBLANES, jnp.int32))
+        specs.append(blk(nl * Krec * SUBLANES, jnp.float32))
+
+    scratch = [
+        # per-lane ray stacks (11 f32 planes + depth i32), VMEM-resident
+        # across the whole tile traversal instead of while-carried
+        pltpu.VMEM((11 * cfg.max_depth * SUBLANES, LANES), jnp.float32),
+        pltpu.VMEM((cfg.max_depth * SUBLANES, LANES), jnp.int32),
+    ]
+    if record:
+        # parent codes of stacked (reflected) children
+        scratch.append(pltpu.VMEM((cfg.max_depth * SUBLANES, LANES),
+                                  jnp.int32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(gy, gx),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((None, None, 3 * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, K * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, K * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 2 * SUBLANES, LANES),
-                         lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((gy, gx, 3 * SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((gy, gx, K * SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((gy, gx, 2 * SUBLANES, LANES), jnp.int32),
-        ),
-        scratch_shapes=[
-            # per-lane ray stacks (11 f32 planes + depth i32), VMEM-resident
-            # across the whole tile traversal instead of while-carried
-            pltpu.VMEM((11 * cfg.max_depth * SUBLANES, LANES), jnp.float32),
-            pltpu.VMEM((cfg.max_depth * SUBLANES, LANES), jnp.int32),
-        ],
+        out_specs=tuple(s for s, _ in specs),
+        out_shape=tuple(s for _, s in specs),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
+    c_blk, ev_idx, ev_w, over = outs[:4]
+    if record:
+        return c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, outs[4], outs[5]
     return c_blk, ev_idx, ev_w, over, atlas, gx, gy, K
 
 
@@ -1230,62 +1321,199 @@ def render_pallas(scene: Scene, assets: SceneAssets,
     blocks inside the kernel).  ``row0``: global image row of the first
     rendered row (row-sharded rendering).
     """
-    width, height = cfg.width, cfg.height
     c_blk, ev_idx, ev_w, over, atlas, gx, gy, K = _pallas_forward(
         scene, assets, basis, cfg, interpret, row0)
+    return _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
+                           cfg.width, cfg.height)
 
+
+def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
+                    width, height) -> jnp.ndarray:
     # --- resolve deferred texel events -------------------------------------
     # The event buffer has K worst-case slots but real traces populate only
-    # the first few (1 sky + ~1 texture event for most pixels; deep
-    # reflect/refract chains use more).  The resolve is ONE fused expression
-    # per branch: a single gather over the first u slots + one weighted
-    # reduce across the slot axis.  The kernel reports each tile's max used
-    # slot count in over rows [S, 2S); a tiny reduce sizes the resolve and
-    # one ``lax.switch`` picks the branch that gathers exactly that many
-    # slots (the gather itself is HBM-latency-bound at ~6 ns/element, so
-    # gathering only used slots is the main lever).
-    slots_used = jnp.max(over[:, :, SUBLANES, 0])
+    # the first few: measured on render.map the mean is ~1.5 events/pixel
+    # at every config while the max is 6 (1080p d4) to 24 (d15), and only
+    # ~10% of tiles ever use slot 2+.  The atlas gather is issue-rate-bound
+    # at ~7 ns/element regardless of table size, so the only lever is
+    # gathering FEWER elements.  Three-tier resolve:
+    #   * slots 0..1 (the 1-sky/1-texture common case): one dense gather
+    #     over all pixels, sized by a lax.switch on the image max;
+    #   * slots 2+ (deep reflect/refract chains): TILE-COMPACTED — top_k
+    #     picks the <=C highest-event-count tiles (C = ~T/8, static), only
+    #     their tail slots are gathered, and the result is scatter-added
+    #     back into the tile color planes;
+    #   * if more than C tiles need tail slots (adversarial scenes), a
+    #     dense-fallback branch reproduces the old full gather.
+    # The kernel reports each tile's max used slot count in over rows
+    # [S, 2S); tiny reduces over it drive the switch.
+    T = gy * gx
+    tile_used = over[:, :, SUBLANES, 0].reshape(T)
+    u_max = jnp.clip(jnp.max(tile_used), 0, K)
+    # compact-set capacities (static): C1 covers slot-1 tiles (~half the
+    # image on render.map), C2 the deep-chain tiles (~10%)
+    C1 = min(T, max(1, (5 * T) // 8))
+    C2 = min(T, max(1, T // 8))
+    n1 = jnp.sum((tile_used > 1).astype(jnp.int32))
+    n2 = jnp.sum((tile_used > 2).astype(jnp.int32))
 
-    def make_branch(u):
+    evi = ev_idx.reshape(T, K, SUBLANES, LANES)
+    evw = ev_w.reshape(T, K, SUBLANES, LANES)
+    base = (c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :].reshape(
+                T, SUBLANES, LANES),
+            c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :].reshape(
+                T, SUBLANES, LANES),
+            c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :].reshape(
+                T, SUBLANES, LANES))
+
+    def texel_sum(idx, w):
+        """Weighted texel rgb summed over the slot axis (axis 1)."""
+        texel = jnp.take(atlas.packed, jnp.clip(idx, 0, None), axis=0)
+        scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
+        return ((scale * ((texel >> 16) & 0xFF).astype(F32)).sum(axis=1),
+                (scale * ((texel >> 8) & 0xFF).astype(F32)).sum(axis=1),
+                (scale * (texel & 0xFF).astype(F32)).sum(axis=1))
+
+    def add3(c, r, g, b):
+        return c[0] + r, c[1] + g, c[2] + b
+
+    def compact_add(c, tidx, lo, w):
+        """Gather slots [lo, lo+w) of the tiles in ``tidx`` and scatter-add
+        their texel contributions.  Tiles picked only to fill top_k
+        capacity contribute zero (their slots there are EV_NONE)."""
+        ti = evi[:, lo:lo + w][tidx]
+        tw = evw[:, lo:lo + w][tidx]
+        r, g, b = texel_sum(ti, tw)
+        return (c[0].at[tidx].add(r), c[1].at[tidx].add(g),
+                c[2].at[tidx].add(b))
+
+    def dense_only(u):
         def branch(_):
-            cx = c_blk[:, :, 0 * SUBLANES:1 * SUBLANES, :]
-            cy = c_blk[:, :, 1 * SUBLANES:2 * SUBLANES, :]
-            cz = c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :]
             if u == 0:
-                return cx, cy, cz
-            idx = ev_idx[:, :, :u * SUBLANES, :].reshape(
-                gy, gx, u, SUBLANES, LANES)
-            w = ev_w[:, :, :u * SUBLANES, :].reshape(
-                gy, gx, u, SUBLANES, LANES)
-            texel = jnp.take(atlas.packed, jnp.clip(idx, 0, None), axis=0)
-            scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
-            cx = cx + (scale * ((texel >> 16) & 0xFF).astype(F32)).sum(axis=2)
-            cy = cy + (scale * ((texel >> 8) & 0xFF).astype(F32)).sum(axis=2)
-            cz = cz + (scale * (texel & 0xFF).astype(F32)).sum(axis=2)
-            return cx, cy, cz
+                return base
+            return add3(base, *texel_sum(evi[:, :u], evw[:, :u]))
         return branch
 
-    # coarsened branch list bounds compiled-branch count at large K
-    if K <= 8:
-        branch_slots = list(range(K + 1))
-    else:
-        branch_slots = list(range(8)) + list(range(8, K + 4, 4))
-        branch_slots = [min(u, K) for u in branch_slots]
-    branch_of = np.zeros(K + 1, np.int32)
-    for bi, u in enumerate(branch_slots):
-        prev = branch_slots[bi - 1] if bi else -1
-        for v in range(prev + 1, u + 1):
-            branch_of[v] = bi
-    cx, cy, cz = jax.lax.switch(
-        jnp.take(jnp.asarray(branch_of), jnp.clip(slots_used, 0, K)),
-        [make_branch(u) for u in branch_slots], 0)
+    # tail widths (slots 2..2+w), coarse so the branch count stays small;
+    # the last width must reach K-2 so every u_max <= K has a bucket
+    widths = []
+    for w in (2, 4, 6, 14, 22, K - 2):
+        w2 = min(w, K - 2)
+        if w2 > 0 and w2 not in widths:
+            widths.append(w2)
+        if w2 == K - 2:
+            break
 
-    # [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
+    def resolve_ge2(_):
+        """u_max >= 2: dense slot 0, compacted slot 1, compacted tail."""
+        c = add3(base, *texel_sum(evi[:, :1], evw[:, :1]))
+        # one sorted top_k serves both tiers: the first C2 entries of the
+        # C1-sized result are exactly the top C2 tiles
+        _, tidx = jax.lax.top_k(tile_used, C1)
+        c = jax.lax.cond(
+            n1 <= C1,
+            lambda c: compact_add(c, tidx, 1, 1),
+            lambda c: add3(c, *texel_sum(evi[:, 1:2], evw[:, 1:2])), c)
+
+        def tail_branch(w, compact):
+            if compact:
+                return lambda c: compact_add(c, tidx[:C2], 2, w)
+            return lambda c: add3(
+                c, *texel_sum(evi[:, 2:2 + w], evw[:, 2:2 + w]))
+
+        tail_bucket = np.zeros(K + 1, np.int32)
+        for u in range(3, K + 1):
+            tail_bucket[u] = 1 + next(i for i, w in enumerate(widths)
+                                      if 2 + w >= u)
+        tb = jnp.take(jnp.asarray(tail_bucket), u_max)
+        tsel = jnp.where(tb == 0, 0,
+                         tb + jnp.where(n2 > C2, len(widths), 0))
+        return jax.lax.switch(
+            tsel,
+            [lambda c: c]
+            + [tail_branch(w, True) for w in widths]
+            + [tail_branch(w, False) for w in widths], c)
+
+    if K >= 2:
+        branches = [dense_only(0), dense_only(1), resolve_ge2]
+        sel = jnp.minimum(u_max, 2)
+    else:
+        branches = [dense_only(u) for u in range(K + 1)]
+        sel = u_max
+    cx, cy, cz = jax.lax.switch(sel, branches, 0)
+
+    # [T, S, L] -> [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
     def unblock(ch):
-        return ch.transpose(0, 2, 1, 3).reshape(gy * SUBLANES, gx * LANES)
+        return ch.reshape(gy, gx, SUBLANES, LANES).transpose(
+            0, 2, 1, 3).reshape(gy * SUBLANES, gx * LANES)
 
     img = jnp.stack([unblock(cx), unblock(cy), unblock(cz)], axis=-1)
     return img[:height, :width, :]
+
+
+def render_pallas_record(scene: Scene, assets: SceneAssets,
+                         basis: PerspectiveBasis, cfg: RenderConfig,
+                         interpret: bool = False):
+    """Forward render + per-pixel node records for the replay VJP.
+
+    Returns (img [H, W, 3] f32, records) where records is a dict:
+      * ``rec``  [Krec, n_pix] i32 — packed hit code | parent byte << 8
+        (see _make_kernel's record block); -1 = unused slot;
+      * ``ssr``  [Krec, nl, n_pix] f32 — per-node per-light soft-shadow
+        ratios (the recorded RNG-dependent quantities);
+      * ``ev_idx`` [K, n_pix] i32 — the kernel's deferred texel-event
+        indices, in emission order (the replay re-uses these exact
+        discrete texel picks so nearest-fetch boundary pixels match the
+        kernel bit-for-bit; weights stay recomputed/differentiable);
+      * ``max_nodes`` scalar i32 — image max node count (> Krec means the
+        replay lost subtree contributions; raise cfg.record_slots).
+    """
+    width, height = cfg.width, cfg.height
+    (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, rec,
+     ssr) = _pallas_forward(scene, assets, basis, cfg, interpret, 0.0,
+                            record=True)
+    img = _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
+                          width, height)
+    Krec = cfg.resolved_record_slots()
+    nl = scene.num_lights
+
+    def unblock_planes(buf, planes):
+        # (gy, gx, planes*S, L) -> [planes, H, W] -> [planes, n_pix]
+        x = buf.reshape(gy, gx, planes, SUBLANES, LANES)
+        x = x.transpose(2, 0, 3, 1, 4).reshape(
+            planes, gy * SUBLANES, gx * LANES)
+        return x[:, :height, :width].reshape(planes, height * width)
+
+    rec_flat = unblock_planes(rec, Krec)
+    ssr_flat = unblock_planes(ssr, nl * Krec).reshape(
+        nl, Krec, height * width).transpose(1, 0, 2)
+    max_nodes = jnp.max(over[:, :, 2 * SUBLANES, 0])
+    records = {"rec": rec_flat, "ssr": ssr_flat,
+               "ev_idx": unblock_planes(ev_idx, K),
+               "max_nodes": max_nodes}
+    return img, records
+
+
+def render_pallas_checked(scene: Scene, assets: SceneAssets,
+                          basis: PerspectiveBasis, cfg: RenderConfig,
+                          interpret: bool = False, row0=0.0):
+    """Forward render + event-overflow telemetry in the same launch.
+
+    Returns (img, dropped_events, needed_slots): ``dropped_events`` is the
+    total count of texel events the kernel could not store (their terminal
+    contributions are missing from ``img``); ``needed_slots`` is the
+    event capacity that would have stored everything (current K + the
+    worst lane's drop count) — re-render with
+    ``cfg.replace(event_slots=needed_slots)`` for a lossless image (see
+    render.render_from_basis_checked's feedback loop).
+    """
+    c_blk, ev_idx, ev_w, over, atlas, gx, gy, K = _pallas_forward(
+        scene, assets, basis, cfg, interpret, row0)
+    img = _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
+                          cfg.width, cfg.height)
+    per_lane_dropped = over[:, :, :SUBLANES, :]
+    dropped = per_lane_dropped.sum()
+    needed = K + jnp.max(per_lane_dropped)
+    return img, dropped, needed
 
 
 def render_pallas_stats(scene: Scene, assets: SceneAssets,

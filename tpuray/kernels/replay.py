@@ -1,0 +1,316 @@
+"""Saved-path replay tracer: the differentiable backward path of the
+Pallas megakernel.
+
+The megakernel's record mode (pallas_trace.py, ``record=True``) emits one
+compact record per DFS node — packed hit code + parent slot + branch bit,
+plus per-light soft-shadow ratios.  Those records freeze every *discrete*
+decision of the traversal: which primitive each ray hit, which light was
+seen, where refraction branched, and what fraction of each area light was
+occluded (the only RNG-dependent quantities; all piecewise-constant w.r.t.
+scene parameters, so recording them is exact for a.e. gradients).
+
+This module replays the trace densely in pure JAX: for each record slot it
+recomputes — differentiably, with no primitive search, no shadow-feeler
+storm and no while loop — the hit point from the *recorded* winner id, the
+normal, the Phong shading against the recorded shadow ratios, the
+Schlick-blended throughput, and both child-ray candidates.  Children find
+their parent's ray/throughput via the recorded parent slot.  Summing every
+node's local radiance weighted by its throughput reproduces the kernel's
+image (tested), and ``jax.grad`` of that replay is the megakernel's
+backward pass (wired up as a ``jax.custom_vjp`` in tpuray/diff.py).
+
+Reference analog: none — gradients are the north-star extension; the
+forward math replayed here is raytracing.cl:41-191 node-for-node, with
+citations in pallas_trace.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import PerspectiveBasis, generate_rays
+from ..config import RenderConfig
+from ..scene import Scene
+from ..textures import SceneAssets
+from . import primitives as pr
+
+F32 = jnp.float32
+INV_PI = np.float32(1.0 / np.pi)
+
+
+def _normalize(v):
+    """Kernel-matching normalize (pallas_trace._normalize uses rsqrt):
+    keeps the replay's float rounding as close to the megakernel's as the
+    backend allows."""
+    n2 = pr.dot3(v, v)
+    inv = jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0))
+    inv = jnp.where(n2 > 0, inv, 0.0)
+    return v * inv[..., None]
+
+
+def _sqrt_pos(x):
+    """sqrt(max(x, 0)) whose gradient is ZERO (not NaN) where x <= 0.
+
+    ``sqrt(clip(x, 0))`` backward-evaluates to 0 * inf = NaN on clamped
+    lanes (TIR rays, degenerate quadratics on dead record slots); the
+    double-where keeps those cotangents finite — the replay's analog of
+    the kernel/tracer masking discipline.
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def _sphere_t(o, d, center, radius, active):
+    """Recorded-winner sphere t (far-root rule, primitives.cl:170-195)
+    with dead-lane-safe gradients: inactive lanes get a unit ray so the
+    quadratic never divides by zero, and the discriminant sqrt is
+    gradient-guarded."""
+    d = jnp.where(active[:, None], d, jnp.asarray([0.0, 0.0, 1.0], F32))
+    v = o - center
+    a = pr.dot3(d, d)
+    a = jnp.where(a > 0, a, 1.0)
+    b = pr.dot3(2.0 * v, d)
+    c = pr.dot3(v, v) - radius * radius
+    sq = _sqrt_pos(b * b - 4.0 * a * c)
+    two_a = 2.0 * a
+    t_near = (-b - sq) / two_a
+    t_far = (-b + sq) / two_a
+    return jnp.where(t_near < 0, t_far, t_near)
+
+
+def _refract(n1, n2, incident, normal):
+    """primitives.cl:132-144 with gradient-guarded TIR (cf. pr.refract,
+    whose clip-based cos_t NaNs the backward on TIR lanes)."""
+    n = n1 / n2
+    cos_i = -pr.dot3(normal, incident)
+    sin_t2 = n * n * (1.0 - cos_i * cos_i)
+    tir = sin_t2 > 1.0
+    cos_t = _sqrt_pos(1.0 - sin_t2)
+    out = n[..., None] * incident + (n * cos_i - cos_t)[..., None] * normal
+    return out, tir
+
+
+def _schlick(n1, n2, incident, normal):
+    """primitives.cl:146-160 with gradient-guarded transmission sqrt."""
+    r0 = (n1 - n2) / (n1 + n2)
+    r0 = r0 * r0
+    cos_x = -pr.dot3(normal, incident)
+    n = n1 / n2
+    sin_t2 = n * n * (1.0 - cos_x * cos_x)
+    tir = sin_t2 > 1.0
+    cos_trans = _sqrt_pos(1.0 - sin_t2)
+    use_trans = n1 > n2
+    cos_x = jnp.where(use_trans, cos_trans, cos_x)
+    x = 1.0 - cos_x
+    fr = r0 + (1.0 - r0) * x * x * x * x * x
+    return jnp.where(use_trans & tir, 1.0, fr)
+
+_MAT_FIELDS = ("ambient", "diffuse", "specular", "shininess",
+               "transparent", "dielectric", "n", "reflectivity",
+               "texture_id", "texture_scale")
+
+
+def _solid_tables(scene: Scene):
+    """Per-solid parameter tables, spheres first then planes (matching the
+    kernel's winner index space: 0..ns-1 spheres, ns..ns+npl-1 planes)."""
+    sm, pm = scene.sphere_mat, scene.plane_mat
+    rgb = jnp.concatenate([sm.rgb, pm.rgb], axis=0)
+    fields = {}
+    for f in _MAT_FIELDS:
+        a = getattr(sm, f)
+        b = getattr(pm, f)
+        fields[f] = jnp.concatenate([a.astype(F32), b.astype(F32)])
+    return rgb, fields
+
+
+def replay_render(scene: Scene, assets: SceneAssets,
+                  basis: PerspectiveBasis, records: dict,
+                  cfg: RenderConfig) -> jnp.ndarray:
+    """Dense differentiable replay of a recorded megakernel trace.
+
+    Returns float32 linear rgb [H, W, 3]; equals the megakernel render of
+    the same (scene, basis) wherever no record slot overflowed.
+    """
+    ns, npl, nl = scene.num_spheres, scene.num_planes, scene.num_lights
+    if ns + npl > 64 or 64 + nl > 127:
+        raise ValueError("replay hit-code space requires <= 64 solids and "
+                         "<= 63 lights")
+    width, height = cfg.width, cfg.height
+    n_pix = width * height
+    eps = np.float32(cfg.epsilon)
+    default_n = np.float32(cfg.default_n)
+
+    rec = records["rec"]          # [Krec, n_pix] i32
+    ssr = records["ssr"]          # [Krec, nl, n_pix] f32
+    evi = records.get("ev_idx")   # [K, n_pix] i32 recorded texel picks
+    Krec = rec.shape[0]
+    Kev = evi.shape[0] if evi is not None else 0
+
+    o0, d0 = generate_rays(basis, width, height)   # [n_pix, 3]
+
+    rgb_tab, mat = _solid_tables(scene)
+    sky = assets.skybox.astype(F32) / F32(255.0)    # [Hs, Ws, 3]
+    tex = assets.textures.astype(F32) / F32(255.0)  # [N, Ht, Wt, 3]
+    sky_h, sky_w = sky.shape[0], sky.shape[1]
+    tex_h, tex_w = tex.shape[1], tex.shape[2]
+    if evi is not None:
+        from .pallas_trace import build_atlas
+        atlas = build_atlas(assets)
+        ap = atlas.packed
+
+        def atlas_rgb(idx):
+            tx = jnp.take(ap, jnp.clip(idx, 0, None), axis=0)
+            return jnp.stack(
+                [((tx >> 16) & 0xFF).astype(F32),
+                 ((tx >> 8) & 0xFF).astype(F32),
+                 (tx & 0xFF).astype(F32)], axis=-1) / F32(255.0)
+    ecnt = jnp.zeros((n_pix,), jnp.int32)
+
+    # plane tangent bases (ray-independent, as in the kernel)
+    pb0, pb1 = pr.plane_texture_basis(scene.plane_normal)  # [npl, 3] each
+
+    # per-node child-candidate buffer: refl (o3 d3 f n1) ++ refr (o3 d3 f n1)
+    buf = jnp.zeros((Krec, n_pix, 16), F32)
+    img = jnp.zeros((n_pix, 3), F32)
+
+    for s in range(Krec):
+        code = rec[s] & np.int32(0xFF)
+        pbyte = (rec[s] >> np.int32(8)) & np.int32(0xFF)
+        written = rec[s] >= 0
+
+        if s == 0:
+            o, d = o0, d0
+            f = jnp.where(written, F32(1.0), F32(0.0))
+            n1 = jnp.full((n_pix,), default_n)
+            valid = written
+        else:
+            has_par = (pbyte & 0x80) != 0
+            branch = (pbyte >> 6) & 1          # 0 = reflect, 1 = refract
+            pslot = jnp.clip(pbyte & 0x3F, 0, Krec - 1)
+            par = jnp.take_along_axis(
+                buf, pslot[None, :, None], axis=0)[0]     # [n_pix, 16]
+            side = jnp.where((branch == 1)[:, None], par[:, 8:16],
+                             par[:, 0:8])
+            o = side[:, 0:3]
+            d = side[:, 3:6]
+            f = side[:, 6]
+            n1 = side[:, 7]
+            valid = written & has_par
+            f = jnp.where(valid, f, 0.0)
+
+        is_sphere = code < ns if ns else jnp.zeros_like(valid)
+        is_plane = (code >= ns) & (code < ns + npl)
+        is_solid = (is_sphere | is_plane) & valid
+        is_light = (code >= 64) & (code < 64 + nl) & valid
+        is_miss = (code == 127) & valid
+
+        # ---- light-hit radiance (primitives.cl:262-318 + the (1/d*d)==1
+        # quirk at :287 — no distance falloff) ----
+        oh_l = (code[:, None] == (64 + jnp.arange(nl))[None, :]).astype(F32)
+        l_rgb = oh_l @ scene.light_rgb
+        l_i = oh_l @ scene.light_intensity
+        img = img + jnp.where(is_light, f * l_i * INV_PI, 0.0)[:, None] \
+            * l_rgb
+
+        # ---- recorded-winner solid hit, recomputed differentiably ----
+        code_c = jnp.clip(code, 0, ns + npl - 1)
+        oh = (code_c[:, None] == jnp.arange(ns + npl)[None, :]).astype(F32)
+        oh_s = oh[:, :ns]
+        oh_p = oh[:, ns:]
+        m = {k: oh @ v for k, v in mat.items()}
+        m_rgb = oh @ rgb_tab
+
+        center = oh_s @ scene.sphere_origin
+        radius = oh_s @ scene.sphere_radius
+        t_sph = _sphere_t(o, d, center, radius, is_sphere)
+        p_nrm = oh_p @ scene.plane_normal
+        p_pt = oh_p @ scene.plane_point
+        _, t_pl = pr.intersect_plane(o, d, p_nrm, p_pt)
+        t = jnp.where(is_sphere, t_sph, jnp.where(is_plane, t_pl, 0.0))
+        t = jnp.where(is_solid, t, 0.0)
+        hit = o + t[:, None] * d
+        n_vec = jnp.where(is_sphere[:, None],
+                          _normalize(hit - center), p_nrm)
+        ph = hit + eps * n_vec
+
+        # ---- texel picks: sky on miss (raytracing.cl:61-81) and plane
+        # texture on textured hit (primitives.cl:217-259), both nearest.
+        # The recomputed indices are the fallback; where the kernel
+        # recorded a texel event this slot re-uses that exact index so
+        # texel-boundary pixels match the kernel bit-for-bit (the index
+        # is discrete either way — only weights carry gradients).
+        uu, vv = pr.map_to_cube(d, sky_w // 4)
+        syy = jnp.clip(np.int32(sky_h) - vv, 0, sky_h - 1)
+        sxx = jnp.clip(uu, 0, sky_w - 1)
+        sky_rgb = sky[syy, sxx]                     # [n_pix, 3], constant
+
+        b0 = oh_p @ pb0
+        b1 = oh_p @ pb1
+        xi, yi = pr.texture_texel_coords(b0, b1, hit, m["texture_scale"],
+                                         tex_h, tex_w)
+        tid = jnp.clip(m["texture_id"].astype(jnp.int32), 0, None)
+        texel = tex[tid, yi, xi]                    # [n_pix, 3], constant
+        textured = is_solid & is_plane & (m["texture_id"] > -0.5)
+
+        if evi is not None:
+            emit = is_miss | textured
+            idx_rec = jnp.take_along_axis(
+                evi, jnp.clip(ecnt, 0, Kev - 1)[None, :], axis=0)[0]
+            use_rec = emit & (ecnt < Kev) & (idx_rec >= 0)
+            rec_rgb = atlas_rgb(idx_rec)
+            sky_rgb = jnp.where((use_rec & is_miss)[:, None], rec_rgb,
+                                sky_rgb)
+            texel = jnp.where((use_rec & textured)[:, None], rec_rgb,
+                              texel)
+            ecnt = ecnt + emit.astype(jnp.int32)
+
+        img = img + jnp.where(is_miss, f, 0.0)[:, None] * sky_rgb
+
+        # ambient (raytracing.cl:83-84); the texel color is constant,
+        # f/ambient stay differentiable
+        amb_rgb = jnp.where(textured[:, None], texel, m_rgb)
+        img = img + jnp.where(is_solid, f * m["ambient"], 0.0)[:, None] \
+            * amb_rgb
+
+        # direct Phong lighting against recorded shadow ratios
+        # (raytracing.cl:87-136 with ssr frozen)
+        v_dir = _normalize(o - ph)
+        for li in range(nl):
+            lo = scene.light_origin[li]
+            sd = _normalize(lo[None, :] - ph)
+            dd = pr.length3(lo[None, :] - ph)
+            dd = jnp.where(dd > 0, dd, 1.0)
+            fall = INV_PI * scene.light_intensity[li] / (dd * dd) \
+                * ssr[s, li]
+            half = _normalize(v_dir + sd)
+            ndh = jnp.maximum(0.0, pr.dot3(n_vec, half))
+            spec = jnp.power(jnp.maximum(ndh, F32(1e-30)),
+                             m["shininess"]) * m["specular"] * f
+            ndl = jnp.maximum(0.0, pr.dot3(n_vec, sd))
+            diff = ndl * m["diffuse"] * f
+            w = jnp.where(is_solid, spec + diff, 0.0) * fall
+            img = img + w[:, None] * scene.light_rgb[li][None, :]
+
+        # ---- child candidates (raytracing.cl:138-179) ----
+        n2 = jnp.where(n1 == default_n, m["n"], default_n)
+        n2 = jnp.where(n2 != 0, n2, 1.0)   # dead-lane guard for n1/n2
+        ra_f = _schlick(n1, n2, d, n_vec)
+        ra = jnp.where(m["dielectric"] > 0.5,
+                       m["reflectivity"] + (1.0 - m["reflectivity"]) * ra_f,
+                       m["reflectivity"])
+        refl_d = pr.reflect(d, n_vec)
+        f_refl = jnp.where(is_solid, f * ra, 0.0)
+
+        entering = n1 < n2
+        co = jnp.where(entering[:, None], ph - 2.0 * eps * n_vec, ph)
+        rn = jnp.where(entering[:, None], n_vec, -n_vec)
+        refr_d, tir = _refract(n1, n2, d, rn)
+        can_refr = is_solid & (m["transparent"] > 0.5) & (ra < 1.0) & ~tir
+        f_refr = jnp.where(can_refr, f * (1.0 - ra), 0.0)
+
+        buf = buf.at[s].set(jnp.concatenate([
+            ph, refl_d, f_refl[:, None], n1[:, None],
+            co, refr_d, f_refr[:, None], n2[:, None]], axis=1))
+
+    return img.reshape(height, width, 3)

@@ -96,6 +96,47 @@ def render_from_basis(scene: Scene, assets: SceneAssets,
     return render_from_basis_xla(scene, assets, basis, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_pallas_checked_jit(scene: Scene, assets: SceneAssets,
+                               basis: PerspectiveBasis, cfg: RenderConfig):
+    from .kernels.pallas_trace import render_pallas_checked
+    return render_pallas_checked(scene, assets, basis, cfg)
+
+
+def render_from_basis_checked(scene: Scene, assets: SceneAssets,
+                              basis: PerspectiveBasis, cfg: RenderConfig,
+                              max_retries: int = 2):
+    """Megakernel render with the event-overflow feedback loop.
+
+    The Pallas engine defers texel (sky/texture) contributions to a
+    bounded per-pixel event buffer; deep reflect/refract chains can exceed
+    it, silently dropping terminal contributions with tiny throughput.
+    This wrapper reads the kernel's overflow counters and re-renders with
+    the exact needed capacity (host-side control flow — each retry is a
+    recompile, which only offline/once-per-config paths should pay).
+
+    Returns (img, info) with info = {dropped, retries, event_slots}:
+    ``dropped`` > 0 after ``max_retries`` means the scene needs more than
+    64 slots (the 6-bit event addressing cap) and the image is degraded —
+    callers should surface that loudly.
+    """
+    if not _use_pallas(scene, cfg):
+        img = render_from_basis_xla(scene, assets, basis, cfg)
+        return img, {"dropped": 0, "retries": 0,
+                     "event_slots": 0, "engine": "xla"}
+    dropped = 0
+    for attempt in range(max_retries + 1):
+        img, dropped_a, needed_a = _render_pallas_checked_jit(
+            scene, assets, basis, cfg)
+        dropped = int(dropped_a)
+        if dropped == 0 or attempt == max_retries:
+            break
+        cfg = cfg.replace(event_slots=min(int(needed_a), 64))
+    return img, {"dropped": dropped, "retries": attempt,
+                 "event_slots": cfg.resolved_event_slots(),
+                 "engine": "pallas"}
+
+
 def render(scene: Scene, assets: SceneAssets, camera: Camera,
            cfg: RenderConfig) -> jnp.ndarray:
     """Render to float32 linear rgb [H, W, 3]."""
