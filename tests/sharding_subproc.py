@@ -94,6 +94,30 @@ def main():
                                atol=5e-4)
     print("ok pallas", flush=True)
 
+    # sharded replay-VJP: megakernel record forward + replay backward per
+    # row shard, scene grads psum'd — must equal the single-device custom
+    # VJP's loss and grads exactly (same records, same replay math)
+    from tpuray import diff as tdiff
+    from tpuray.parallel.shard import loss_and_scene_grad_sharded_pallas
+    ptarget = jnp.clip(pallas_img, 0.0, 1.0) * 0.9
+    ploss, pgrads = loss_and_scene_grad_sharded_pallas(
+        scene, assets, basis, ptarget, cfg, mesh, interpret=True)
+
+    def single_loss(s):
+        img = jnp.clip(tdiff.render_pallas_diff(s, assets, basis, cfg,
+                                                0.0, True), 0.0, 1.0)
+        return jnp.sum((img - ptarget) ** 2)
+
+    sloss, sgrads = tdiff.value_and_scene_grad(single_loss, scene)
+    np.testing.assert_allclose(float(ploss), float(sloss), rtol=1e-5)
+    # grads differ only by float reduction order (8 per-shard sums + psum
+    # vs one full-image sum), so the tolerance is loose-ish
+    for pg, sg in zip(jax.tree.leaves(pgrads), jax.tree.leaves(sgrads)):
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(sg),
+                                   rtol=5e-3, atol=5e-5)
+    assert np.any(np.asarray(pgrads.light_intensity) != 0)
+    print("ok pallas_grad", flush=True)
+
     assert distributed.ensure_initialized() is False  # single-process no-op
     gm = distributed.global_mesh()
     assert gm.devices.size == jax.device_count()

@@ -94,3 +94,19 @@ class TestInvrender:
         assert os.path.exists(ck)
         out = capsys.readouterr().out
         assert "recovered vs truth" in out
+
+    def test_recovers_render_map_params_within_tolerance(self, tmp_path):
+        """BASELINE config 4 (VERDICT r1 item 5): recover render.map's
+        material params + light positions from the golden-scene target,
+        asserting the recovery actually converges — mean |recovered−truth|
+        over the optimized leaves drops below 70% of the perturbed start
+        within a short CPU-sized run (the full-size run in BASELINE.md
+        reaches ~30%)."""
+        from tpuray.apps import invrender
+        ck = str(tmp_path / "inv.npz")
+        err0, err1 = invrender.main(
+            ["--steps", "40", "--width", "48", "--height", "36",
+             "--depth", "2", "--checkpoint", ck, "--every", "20",
+             "--engine", "xla"])
+        assert err0 > 0.03  # the perturbation actually moved the params
+        assert err1 < 0.7 * err0, (err0, err1)

@@ -119,6 +119,9 @@ class TestShardedRender:
     def test_megakernel_under_shard_map(self):
         self._assert_ok("pallas")
 
+    def test_sharded_replay_vjp_matches_single_device(self):
+        self._assert_ok("pallas_grad")
+
     def test_distributed_bootstrap_single_process(self):
         self._assert_ok("distributed")
 

@@ -116,7 +116,8 @@ def perspective_basis(camera: Camera, width: int, height: int,
                             w_factor=w_factor, h_factor=h_factor)
 
 
-def generate_rays(basis: PerspectiveBasis, width: int, height: int):
+def generate_rays(basis: PerspectiveBasis, width: int, height: int,
+                  row0=0.0):
     """Per-pixel primary rays — the raygen kernel (raygen.cl:5-25) as one
     vectorized jnp expression.
 
@@ -124,11 +125,16 @@ def generate_rays(basis: PerspectiveBasis, width: int, height: int):
     ``normalize(corner + right*w_factor*col - up*h_factor*row)`` sampled at
     integer pixel offsets (no half-pixel centering), matching raygen.cl:13-16.
 
+    ``row0``: global image row of the first generated row — row-sharded
+    rendering generates each shard's rays at their GLOBAL row indices so
+    the sharded render is bit-identical to the unsharded one (mirrors the
+    megakernel's row0 uniform, pallas_trace.py).
+
     Returns (origins [H*W, 3], dirs [H*W, 3]).
     """
     f32 = jnp.float32
     w = jnp.arange(width, dtype=f32)[None, :]    # [1, W]
-    h = jnp.arange(height, dtype=f32)[:, None]   # [H, 1]
+    h = jnp.arange(height, dtype=f32)[:, None] + row0   # [H, 1]
     vec = (basis.corner[None, None, :]
            + basis.right[None, None, :] * (basis.w_factor * w)[..., None]
            - basis.up[None, None, :] * (basis.h_factor * h)[..., None])

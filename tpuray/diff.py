@@ -70,9 +70,10 @@ def _zero_cotangent(tree):
     return jax.tree.map(leaf, tree)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
 def render_pallas_diff(scene: Scene, assets: SceneAssets,
-                       basis: PerspectiveBasis, cfg: RenderConfig):
+                       basis: PerspectiveBasis, cfg: RenderConfig,
+                       row0=0.0, interpret: bool = False):
     """Differentiable megakernel render.
 
     Forward: the Pallas tile megakernel (record mode — same image, plus
@@ -84,29 +85,36 @@ def render_pallas_diff(scene: Scene, assets: SceneAssets,
     parameters).  North-star requirement (BASELINE.json: gradients via
     custom VJPs); the scan-tracer equivalence is tested in
     tests/test_pallas_vjp.py.
+
+    ``row0`` is the shard's first global image row (row-sharded inverse
+    rendering, parallel/shard.py) — a traced value with no gradient.
     """
     from .kernels.pallas_trace import render_pallas
-    return render_pallas(scene, assets, basis, cfg)
+    return render_pallas(scene, assets, basis, cfg, interpret=interpret,
+                         row0=row0)
 
 
-def _rpd_fwd(scene, assets, basis, cfg):
+def _rpd_fwd(scene, assets, basis, cfg, row0, interpret):
     from .kernels.pallas_trace import render_pallas_record
-    img, records = render_pallas_record(scene, assets, basis, cfg)
-    return img, (scene, assets, basis, records)
+    img, records = render_pallas_record(scene, assets, basis, cfg,
+                                        interpret=interpret, row0=row0)
+    return img, (scene, assets, basis, records, row0)
 
 
-def _rpd_bwd(cfg, res, g):
+def _rpd_bwd(cfg, interpret, res, g):
     from .kernels.replay import replay_render
-    scene, assets, basis, records = res
+    scene, assets, basis, records, row0 = res
     d_scene, d_rest = partition(scene)
 
     def replay(d, b):
-        return replay_render(combine(d, d_rest), assets, b, records, cfg)
+        return replay_render(combine(d, d_rest), assets, b, records, cfg,
+                             row0)
 
     _, vjp = jax.vjp(replay, d_scene, basis)
     gd_scene, g_basis = vjp(g)
     g_scene = combine(gd_scene, _zero_cotangent(d_rest))
-    return g_scene, _zero_cotangent(assets), g_basis
+    return g_scene, _zero_cotangent(assets), g_basis, _zero_cotangent(
+        jnp.asarray(row0, jnp.float32))
 
 
 render_pallas_diff.defvjp(_rpd_fwd, _rpd_bwd)

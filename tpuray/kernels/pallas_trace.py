@@ -1333,9 +1333,17 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
     # The event buffer has K worst-case slots but real traces populate only
     # the first few: measured on render.map the mean is ~1.5 events/pixel
     # at every config while the max is 6 (1080p d4) to 24 (d15), and only
-    # ~10% of tiles ever use slot 2+.  The atlas gather is issue-rate-bound
-    # at ~7 ns/element regardless of table size, so the only lever is
-    # gathering FEWER elements.  Three-tier resolve:
+    # ~10% of tiles ever use slot 2+.  Two levers, both applied here:
+    #
+    # 1. CHEAPER ISSUES.  XLA:TPU's per-ELEMENT gather costs ~7 ns/element
+    #    regardless of table size or index order (measured, scripts/
+    #    bench_gather.py), but a gather of 64-wide ROWS hits a DMA-fast
+    #    path at ~2.4 ns/row — 64 texels for a third the cost of one.  So
+    #    texel_sum fetches the 64-texel row containing each event's texel
+    #    and selects the lane with an in-register one-hot (VPU): measured
+    #    3.0 ns/event vs 7.2, a 2.4x resolve speedup end to end.
+    #
+    # 2. FEWER ELEMENTS.  Three-tier slot schedule:
     #   * slots 0..1 (the 1-sky/1-texture common case): one dense gather
     #     over all pixels, sized by a lax.switch on the image max;
     #   * slots 2+ (deep reflect/refract chains): TILE-COMPACTED — top_k
@@ -1349,11 +1357,9 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
     T = gy * gx
     tile_used = over[:, :, SUBLANES, 0].reshape(T)
     u_max = jnp.clip(jnp.max(tile_used), 0, K)
-    # compact-set capacities (static): C1 covers slot-1 tiles (~half the
-    # image on render.map), C2 the deep-chain tiles (~10%)
-    C1 = min(T, max(1, (5 * T) // 8))
+    # compact-set capacity (static): C2 covers the deep-chain tiles that
+    # use event slots >= 2 (~10% of tiles on render.map)
     C2 = min(T, max(1, T // 8))
-    n1 = jnp.sum((tile_used > 1).astype(jnp.int32))
     n2 = jnp.sum((tile_used > 2).astype(jnp.int32))
 
     evi = ev_idx.reshape(T, K, SUBLANES, LANES)
@@ -1365,13 +1371,57 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
             c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :].reshape(
                 T, SUBLANES, LANES))
 
-    def texel_sum(idx, w):
-        """Weighted texel rgb summed over the slot axis (axis 1)."""
-        texel = jnp.take(atlas.packed, jnp.clip(idx, 0, None), axis=0)
+    # 64-texel row view of the atlas for the fast row-gather path (the
+    # pad+reshape is one fused ~50 MB copy per render, ~0.1 ms)
+    ap = atlas.packed
+    arows = jnp.pad(ap, (0, (-ap.shape[0]) % 64)).reshape(-1, 64)
+    lane64 = jnp.arange(64, dtype=jnp.int32)
+
+    def _texel_sum_direct(idx, w):
+        ic = jnp.clip(idx, 0, None)
+        rows = jnp.take(arows, ic >> 6, axis=0)          # [..., 64]
+        texel = jnp.where(lane64 == (ic & 63)[..., None], rows, 0) \
+            .sum(axis=-1)
         scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
         return ((scale * ((texel >> 16) & 0xFF).astype(F32)).sum(axis=1),
                 (scale * ((texel >> 8) & 0xFF).astype(F32)).sum(axis=1),
                 (scale * (texel & 0xFF).astype(F32)).sum(axis=1))
+
+    # XLA materializes the row intermediate ([E, 64] u32) when the select
+    # does not fuse into the gather; bound that temp (256 B/event) by
+    # processing at most CHUNK_EV events per step.  9M events = a 2.3 GB
+    # temp — big enough that every hot tier (slot 0 dense is one pixel's
+    # worth, <= 8.3M at 4K) runs direct, small enough that the adversarial
+    # wide dense-fallback branches (which would otherwise allocate tens of
+    # GB) stay compilable.
+    CHUNK_EV = 9_000_000
+
+    def texel_sum(idx, w):
+        """Weighted texel rgb summed over the slot axis (axis 1).
+
+        Row-gather: fetch the 64-wide atlas row holding each texel
+        (~2.4 ns/row vs ~7 ns/element, scripts/bench_gather.py) and
+        one-hot-select the lane in registers.  Bit-identical to an
+        element gather (tested vs the XLA tracer and the golden image).
+        """
+        n = idx.shape[0]
+        per_row = int(np.prod(idx.shape[1:]))
+        chunk = max(1, CHUNK_EV // max(per_row, 1))
+        if n <= chunk:
+            return _texel_sum_direct(idx, w)
+        nc = -(-n // chunk)
+        pad = nc * chunk - n
+
+        def pad_r(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=-1).reshape(
+                               (nc, chunk) + x.shape[1:])
+
+        r, g, b = jax.lax.map(lambda ab: _texel_sum_direct(*ab),
+                              (pad_r(idx), pad_r(w)))
+        return (r.reshape((nc * chunk,) + r.shape[2:])[:n],
+                g.reshape((nc * chunk,) + g.shape[2:])[:n],
+                b.reshape((nc * chunk,) + b.shape[2:])[:n])
 
     def add3(c, r, g, b):
         return c[0] + r, c[1] + g, c[2] + b
@@ -1386,11 +1436,23 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
         return (c[0].at[tidx].add(r), c[1].at[tidx].add(g),
                 c[2].at[tidx].add(b))
 
+    # Tier structure (widths are static; the row path is fastest at width
+    # >= 2 — a lone width-1 call hits a slow XLA layout, measured ~12 vs
+    # ~3 ns/element — so the dense tier covers slots 0..1 in ONE call;
+    # over-gathering the ~50% EV_NONE slot-1 lanes costs less than a
+    # separate compacted slot-1 pass did on the element path):
+    #   * u_max == 0: nothing;
+    #   * u_max >= 1: dense slots [0, 2) over every tile;
+    #   * u_max >= 3: tile-compacted tail (slots 2+) over the top-C2
+    #     tiles by used-slot count, dense fallback when > C2 tiles need it.
+    D_DENSE = min(2, K)
+
     def dense_only(u):
         def branch(_):
             if u == 0:
                 return base
-            return add3(base, *texel_sum(evi[:, :u], evw[:, :u]))
+            return add3(base, *texel_sum(evi[:, :D_DENSE],
+                                         evw[:, :D_DENSE]))
         return branch
 
     # tail widths (slots 2..2+w), coarse so the branch count stays small;
@@ -1403,20 +1465,14 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
         if w2 == K - 2:
             break
 
-    def resolve_ge2(_):
-        """u_max >= 2: dense slot 0, compacted slot 1, compacted tail."""
-        c = add3(base, *texel_sum(evi[:, :1], evw[:, :1]))
-        # one sorted top_k serves both tiers: the first C2 entries of the
-        # C1-sized result are exactly the top C2 tiles
-        _, tidx = jax.lax.top_k(tile_used, C1)
-        c = jax.lax.cond(
-            n1 <= C1,
-            lambda c: compact_add(c, tidx, 1, 1),
-            lambda c: add3(c, *texel_sum(evi[:, 1:2], evw[:, 1:2])), c)
+    def resolve_ge3(_):
+        """u_max >= 3: dense slots 0..1 + compacted tail."""
+        c = add3(base, *texel_sum(evi[:, :D_DENSE], evw[:, :D_DENSE]))
+        _, tidx = jax.lax.top_k(tile_used, C2)
 
         def tail_branch(w, compact):
             if compact:
-                return lambda c: compact_add(c, tidx[:C2], 2, w)
+                return lambda c: compact_add(c, tidx, 2, w)
             return lambda c: add3(
                 c, *texel_sum(evi[:, 2:2 + w], evw[:, 2:2 + w]))
 
@@ -1425,17 +1481,16 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
             tail_bucket[u] = 1 + next(i for i, w in enumerate(widths)
                                       if 2 + w >= u)
         tb = jnp.take(jnp.asarray(tail_bucket), u_max)
-        tsel = jnp.where(tb == 0, 0,
-                         tb + jnp.where(n2 > C2, len(widths), 0))
+        tsel = tb + jnp.where(n2 > C2, len(widths), 0)
         return jax.lax.switch(
             tsel,
             [lambda c: c]
             + [tail_branch(w, True) for w in widths]
             + [tail_branch(w, False) for w in widths], c)
 
-    if K >= 2:
-        branches = [dense_only(0), dense_only(1), resolve_ge2]
-        sel = jnp.minimum(u_max, 2)
+    if K >= 3:
+        branches = [dense_only(0), dense_only(1), resolve_ge3]
+        sel = jnp.where(u_max == 0, 0, jnp.where(u_max <= 2, 1, 2))
     else:
         branches = [dense_only(u) for u in range(K + 1)]
         sel = u_max
@@ -1452,7 +1507,7 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
 
 def render_pallas_record(scene: Scene, assets: SceneAssets,
                          basis: PerspectiveBasis, cfg: RenderConfig,
-                         interpret: bool = False):
+                         interpret: bool = False, row0=0.0):
     """Forward render + per-pixel node records for the replay VJP.
 
     Returns (img [H, W, 3] f32, records) where records is a dict:
@@ -1469,7 +1524,7 @@ def render_pallas_record(scene: Scene, assets: SceneAssets,
     """
     width, height = cfg.width, cfg.height
     (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, rec,
-     ssr) = _pallas_forward(scene, assets, basis, cfg, interpret, 0.0,
+     ssr) = _pallas_forward(scene, assets, basis, cfg, interpret, row0,
                             record=True)
     img = _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
                           width, height)

@@ -126,11 +126,12 @@ def _solid_tables(scene: Scene):
 
 def replay_render(scene: Scene, assets: SceneAssets,
                   basis: PerspectiveBasis, records: dict,
-                  cfg: RenderConfig) -> jnp.ndarray:
+                  cfg: RenderConfig, row0=0.0) -> jnp.ndarray:
     """Dense differentiable replay of a recorded megakernel trace.
 
     Returns float32 linear rgb [H, W, 3]; equals the megakernel render of
-    the same (scene, basis) wherever no record slot overflowed.
+    the same (scene, basis) wherever no record slot overflowed.  ``row0``
+    must match the record forward's (row-sharded replay).
     """
     ns, npl, nl = scene.num_spheres, scene.num_planes, scene.num_lights
     if ns + npl > 64 or 64 + nl > 127:
@@ -147,7 +148,7 @@ def replay_render(scene: Scene, assets: SceneAssets,
     Krec = rec.shape[0]
     Kev = evi.shape[0] if evi is not None else 0
 
-    o0, d0 = generate_rays(basis, width, height)   # [n_pix, 3]
+    o0, d0 = generate_rays(basis, width, height, row0)   # [n_pix, 3]
 
     rgb_tab, mat = _solid_tables(scene)
     sky = assets.skybox.astype(F32) / F32(255.0)    # [Hs, Ws, 3]

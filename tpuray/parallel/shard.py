@@ -183,6 +183,55 @@ def loss_and_scene_grad_sharded(
     return shard_grad(scene, assets, origins, dirs, ids, target, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "interpret"))
+def loss_and_scene_grad_sharded_pallas(
+        scene: Scene, assets: SceneAssets, basis: PerspectiveBasis,
+        target: jnp.ndarray, cfg: RenderConfig, mesh: Mesh,
+        interpret: bool = False) -> Tuple[jnp.ndarray, Scene]:
+    """L2 loss + scene gradient on the MEGAKERNEL engine, image rows
+    sharded over ``mesh`` — multi-chip inverse rendering at engine speed.
+
+    Each device runs the record-mode Pallas forward on its row block (the
+    saved-path replay custom VJP, diff.render_pallas_diff, with the
+    shard's first global row as ``row0``), backward replays locally, and
+    the scene-gradient pytree is psum'd over the mesh — the same one
+    all-reduce as the XLA path (loss_and_scene_grad_sharded), but with
+    both directions at megakernel speed.  ``target`` is [H, W, 3] float32
+    linear rgb.  The loss is display-space (clipped to [0, 1]) to match
+    apps/invrender.py's objective.
+    """
+    n = mesh.devices.size
+    rows_per = -(-cfg.height // n)
+    sub_cfg = cfg.replace(height=rows_per)
+
+    # pad target rows to n * rows_per; padded rows are masked from the loss
+    pad = n * rows_per - cfg.height
+    target = jnp.pad(target, ((0, pad), (0, 0), (0, 0)))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS)),
+        out_specs=(P(), P()), check_vma=False)
+    def shard_grad(scene_, assets_, basis_, tgt):
+        row0 = (jax.lax.axis_index(AXIS) * rows_per).astype(jnp.float32)
+
+        def local_loss(s):
+            img = diff.render_pallas_diff(s, assets_, basis_, sub_cfg,
+                                          row0, interpret)
+            img = jnp.clip(img, 0.0, 1.0)
+            # rows past the true image height carry zero loss
+            gr = row0 + jnp.arange(rows_per, dtype=jnp.float32)
+            valid = (gr < cfg.height).astype(jnp.float32)[:, None, None]
+            return jnp.sum(valid * (img - tgt) ** 2)
+
+        loss, g = diff.value_and_scene_grad(lambda s_: local_loss(s_),
+                                            scene_)
+        return (jax.lax.psum(loss, AXIS),
+                jax.tree.map(lambda x: jax.lax.psum(x, AXIS), g))
+
+    return shard_grad(scene, assets, basis, target)
+
+
 def dryrun(n_devices: int) -> None:
     """Compile + execute one sharded forward, one sharded forward+grad
     step, and one megakernel-under-shard_map render (interpret mode on
@@ -219,3 +268,10 @@ def dryrun(n_devices: int) -> None:
                                               cfg, mesh)
     loss.block_until_ready()
     assert np.isfinite(float(loss))
+
+    # sharded replay-VJP (megakernel fwd + replay bwd per row shard)
+    ptarget = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    ploss, _ = loss_and_scene_grad_sharded_pallas(
+        scene, assets, basis, ptarget, cfg, mesh, interpret=interp)
+    ploss.block_until_ready()
+    assert np.isfinite(float(ploss))
