@@ -8,12 +8,9 @@ requirement: gradients "via custom VJPs" (BASELINE.json); the scan tracer
 is the correctness oracle (its grads match finite differences,
 tests/test_render.py).
 """
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
+import numpy as np
 
 from tpuray import diff
 from tpuray.camera import Camera, perspective_basis
@@ -29,6 +26,33 @@ from tpuray.sceneio import load_scene
 from tpuray.textures import load_default_assets
 
 RENDER_MAP = "/root/reference/scenes/render.map"
+
+
+def _tri_setup(width=48, height=32, depth=2):
+    """Small mixed scene: 2 triangles + ground plane + sphere + light."""
+    from tpuray.scene import (GLASS, PLASTIC, LightSpec, PlaneSpec,
+                              SceneSpec, SphereSpec, TriangleSpec)
+    spec = SceneSpec(
+        spheres=[SphereSpec((1.5, 0.7, 2.5), 0.7, GLASS)],
+        planes=[PlaneSpec((0.0, 1.0, 0.0), (0.0, 0.0, 0.0),
+                          PLASTIC.replace(rgb=(0.4, 0.4, 0.4)))],
+        triangles=[
+            TriangleSpec((-1.2, 0.1, 3.0), (0.2, 0.2, 3.2),
+                         (-0.5, 1.6, 2.8),
+                         PLASTIC.replace(rgb=(0.9, 0.3, 0.2))),
+            TriangleSpec((0.0, 0.1, 2.0), (1.0, 0.1, 2.4),
+                         (0.6, 1.2, 2.2),
+                         PLASTIC.replace(rgb=(0.2, 0.8, 0.3),
+                                         reflectivity=0.3)),
+        ],
+        lights=[LightSpec((0.5, 4.0, 0.0), 0.1, 40.0, (1.0, 1.0, 1.0))])
+    scene = spec.to_scene()
+    assets = load_default_assets()
+    cfg = RenderConfig(width=width, height=height, max_depth=depth,
+                       engine="pallas", chunk_size=0, loop="scan")
+    cam = Camera((0.0, 1.0, -3.0), (0.0, 0.0, 1.0), 90.0, 1.0)
+    basis = perspective_basis(cam, width, height)
+    return scene, assets, cfg, basis
 
 
 def _setup(width=64, height=48, depth=3):
@@ -58,20 +82,19 @@ class TestReplayForward:
         assert d.mean() < 1e-3, f"replay mismatch: mean|d|={d.mean()}"
         assert d.max() < 5e-2, f"replay mismatch: max|d|={d.max()}"
 
-    def test_record_mode_rejects_triangle_scenes(self):
-        from tpuray.scene import SceneSpec, TriangleSpec, LightSpec, PLASTIC
-        spec = SceneSpec(
-            triangles=[TriangleSpec((0, 0, 3), (1, 0, 3), (0, 1, 3),
-                                    PLASTIC)],
-            lights=[LightSpec((0, 4, 0), 0.1, 10.0, (1, 1, 1))])
-        scene = spec.to_scene()
-        assets = load_default_assets()
-        cfg = RenderConfig(width=16, height=16, max_depth=2,
-                           engine="pallas", chunk_size=0)
-        cam = Camera((0, 0, -3), (0, 0, 1), 90, 1.0)
-        basis = perspective_basis(cam, 16, 16)
-        with pytest.raises(ValueError, match="record mode"):
-            render_pallas_record(scene, assets, basis, cfg, interpret=True)
+    def test_replay_reproduces_megakernel_render_triangles(self):
+        """Triangle scenes record the winning triangle id (rec bits
+        16-30, code 126) and the replay recomputes the Moller-Trumbore
+        hit from it — replay image must match the kernel's."""
+        scene, assets, cfg, basis = _tri_setup()
+        img, records = render_pallas_record(scene, assets, basis, cfg,
+                                            interpret=True)
+        rep = replay_render(scene, assets, basis, records, cfg)
+        d = np.abs(np.asarray(img) - np.asarray(rep))
+        # the kernel's pair t is an MXU matmul; the replay recomputes it
+        # elementwise — slightly looser than the analytic-solid bound
+        assert d.mean() < 2e-3, f"replay mismatch: mean|d|={d.mean()}"
+        assert d.max() < 1e-1, f"replay mismatch: max|d|={d.max()}"
 
 
 class TestOverflowFeedback:
@@ -149,6 +172,44 @@ class TestReplayGradients:
             # agrees to <3e-3 (measured) and a real defect (e.g. the NaN
             # cotangents this test caught in development) blows far past
             # this bound
+            scale = max(np.abs(ls).max(), 1e-3)
+            np.testing.assert_allclose(lr, ls, rtol=0, atol=2e-2 * scale)
+
+    def test_triangle_grads_match_scan_tracer(self):
+        """Replay grads through recorded triangle hits vs the scan tracer
+        — including the triangle vertex and material leaves (ROADMAP
+        round-2 item 3)."""
+        scene, assets, cfg, basis = _tri_setup()
+        img_p, records = render_pallas_record(scene, assets, basis, cfg,
+                                              interpret=True)
+        records = jax.device_get(records)
+        img_x = render_from_basis_xla(scene, assets, basis, cfg)
+        agree = np.abs(np.asarray(img_p) - np.asarray(img_x)).max(-1) < 1e-4
+        assert agree.sum() > 0.25 * agree.size
+        key = jax.random.PRNGKey(1)
+        wimg = jax.random.uniform(key, (cfg.height, cfg.width, 3)) \
+            * jnp.asarray(agree)[..., None]
+
+        d_scene, rest = diff.partition(scene)
+
+        def loss_replay(d):
+            img = replay_render(diff.combine(d, rest), assets, basis,
+                                records, cfg)
+            return jnp.sum(img * wimg)
+
+        def loss_scan(d):
+            img = render_from_basis_xla(diff.combine(d, rest), assets,
+                                        basis, cfg)
+            return jnp.sum(img * wimg)
+
+        g_rep = jax.grad(loss_replay)(d_scene)
+        g_scan = jax.grad(loss_scan)(d_scene)
+        assert float(np.abs(np.asarray(g_rep.tri_v0)).sum()) > 0
+        assert float(np.abs(np.asarray(g_rep.tri_mat.diffuse)).sum()) > 0
+        for lr, ls in zip(jax.tree.leaves(g_rep), jax.tree.leaves(g_scan)):
+            lr, ls = np.asarray(lr), np.asarray(ls)
+            if lr.size == 0:
+                continue
             scale = max(np.abs(ls).max(), 1e-3)
             np.testing.assert_allclose(lr, ls, rtol=0, atol=2e-2 * scale)
 

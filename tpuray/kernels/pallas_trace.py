@@ -643,10 +643,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             """Closest triangle + winner attrs + light-occlusion, whole tile.
 
             Returns (t_tri [S,L] (INF miss), attrs list of 16 [S,L] regs
-            (nx,ny,nz + material fields), lblock_tri [S,L] bool).  Blocks
-            beyond max(bt, lt) for every lane are AABB-culled (they can
-            affect neither the closest hit nor light occlusion)."""
-            t_rows, a_rows, lb_rows = [], [], []
+            (nx,ny,nz + material fields), lblock_tri [S,L] bool,
+            wid [S,L] i32 winning global triangle id — recorded by the
+            replay VJP, kernels/replay.py).  Blocks beyond max(bt, lt) for
+            every lane are AABB-culled (they can affect neither the
+            closest hit nor light occlusion)."""
+            t_rows, a_rows, lb_rows, w_rows = [], [], [], []
             for s in range(SUBLANES):
                 feat = tri_features(s, px, py, pz, qx, qy, qz)
                 act_s = act[s:s + 1, :]
@@ -658,7 +660,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 def body(b, carry, feat=feat, act_s=act_s, lt_s=lt_s,
                          bound_s=bound_s, s=s):
                     def hit_branch(c):
-                        tb_c, pick_c, lb_c = c
+                        tb_c, pick_c, lb_c, wid_c = c
                         tv = tri_pair_ts(b, feat)
                         tmin = jnp.min(tv, axis=0, keepdims=True)
                         ridx = jax.lax.broadcasted_iota(I32, (TB, LANES), 0)
@@ -679,7 +681,9 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         better = tmin < tb_c
                         return (jnp.where(better, tmin, tb_c),
                                 jnp.where(better, picked, pick_c),
-                                jnp.maximum(lb_c, lb_new))
+                                jnp.maximum(lb_c, lb_new),
+                                jnp.where(better,
+                                          b * np.int32(TB) + first, wid_c))
 
                     if _TRI_CULL:
                         return jax.lax.cond(
@@ -690,17 +694,21 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
                 init = (jnp.full((1, LANES), INF),
                         jnp.zeros((TRI_ATTR_ROWS, LANES), F32),
-                        jnp.zeros((1, LANES), F32))
-                tb_s, pick_s, lb_s = jax.lax.fori_loop(0, nblk, body, init)
+                        jnp.zeros((1, LANES), F32),
+                        jnp.zeros((1, LANES), I32))
+                tb_s, pick_s, lb_s, wid_s = jax.lax.fori_loop(
+                    0, nblk, body, init)
                 t_rows.append(tb_s)
                 a_rows.append(pick_s)
                 lb_rows.append(lb_s)
+                w_rows.append(wid_s)
             t_tri = jnp.concatenate(t_rows, axis=0)
             lb_tri = jnp.concatenate(lb_rows, axis=0) > 0.5
+            wid = jnp.concatenate(w_rows, axis=0)
             attrs = [jnp.concatenate([a_rows[s][j:j + 1, :]
                                       for s in range(SUBLANES)], axis=0)
                      for j in range(TRI_ATTR_ROWS)]
-            return t_tri, attrs, lb_tri
+            return t_tri, attrs, lb_tri, wid
 
         def tri_feeler(px, py, pz, qx, qy, qz, tmax, act):
             """Shadow-feeler triangle test, whole tile: (blocked [S,L] bool,
@@ -804,11 +812,14 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
             # --- triangle closest hit + light occlusion (MXU blocks) ---
             if nblk:
-                t_tri, tri_attrs, lb_tri = tri_closest(
+                t_tri, tri_attrs, lb_tri, tri_wid = tri_closest(
                     ox, oy, oz, dx, dy, dz, do_work, lt, bt)
                 lblock |= lb_tri
                 tri_better = t_tri < bt   # strict: analytics win ties, as
                 bt = jnp.where(tri_better, t_tri, bt)  # in trace.py:290-292
+            else:
+                tri_better = jnp.zeros((SUBLANES, LANES), jnp.bool_)
+                tri_wid = izero
             light_hit = light_any & ~lblock
             solid_hit = jnp.isfinite(bt)
             t_safe = jnp.where(solid_hit, bt, 0.0)
@@ -1032,19 +1043,24 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
             # --- node record emission (saved-path replay VJP) ---
             # One record per DFS node: packed hit code (8 bits: sphere /
-            # plane index, 64+l for light l, 127 for miss) | parent byte
-            # << 8 (6-bit parent slot + branch bit 0x40 + valid bit 0x80).
-            # The replay tracer (kernels/replay.py) reconstructs rays,
-            # throughputs and shading differentiably from these plus the
-            # recorded per-light soft-shadow ratios (the only RNG-dependent
+            # plane index, 126 for a triangle hit, 64+l for light l, 127
+            # for miss) | parent byte << 8 (6-bit parent slot + branch bit
+            # 0x40 + valid bit 0x80) | winning triangle id << 16 (15 bits,
+            # TRI_MAX_TRIANGLES = 2^15).  The replay tracer
+            # (kernels/replay.py) reconstructs rays, throughputs and
+            # shading differentiably from these plus the recorded
+            # per-light soft-shadow ratios (the only RNG-dependent
             # quantities; piecewise-constant w.r.t. scene params).
             if record:
                 node_slot = rec_cnt
                 can_rec = do_work & (node_slot < Krec)
+                solid_code = jnp.where(tri_better, np.int32(126), bwin)
                 codev = jnp.where(
                     is_light, np.int32(64) + lwin,
-                    jnp.where(is_miss, np.int32(127), bwin))
-                packed = codev | (pcode << np.int32(8))
+                    jnp.where(is_miss, np.int32(127), solid_code))
+                widv = jnp.where(tri_better, tri_wid, izero)
+                packed = codev | (pcode << np.int32(8)) \
+                    | (widv << np.int32(16))
 
                 @pl.when(jnp.any(can_rec))
                 def _write_rec():
@@ -1244,10 +1260,6 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
     atlas = build_atlas(assets)
     uni = pack_uniforms(scene, basis, lay, row0)
     tri = build_tri_blocks(scene)
-    if record and tri:
-        raise ValueError(
-            "record mode (the replay VJP) does not support triangle scenes "
-            "yet; use the XLA scan tracer for mesh gradients")
 
     gx = -(-width // LANES)
     gy = -(-height // SUBLANES)

@@ -134,9 +134,10 @@ def replay_render(scene: Scene, assets: SceneAssets,
     must match the record forward's (row-sharded replay).
     """
     ns, npl, nl = scene.num_spheres, scene.num_planes, scene.num_lights
-    if ns + npl > 64 or 64 + nl > 127:
+    nt = scene.num_triangles
+    if ns + npl > 64 or 64 + nl > 126:
         raise ValueError("replay hit-code space requires <= 64 solids and "
-                         "<= 63 lights")
+                         "<= 62 lights (code 126 = triangle, 127 = miss)")
     width, height = cfg.width, cfg.height
     n_pix = width * height
     eps = np.float32(cfg.epsilon)
@@ -178,6 +179,7 @@ def replay_render(scene: Scene, assets: SceneAssets,
     for s in range(Krec):
         code = rec[s] & np.int32(0xFF)
         pbyte = (rec[s] >> np.int32(8)) & np.int32(0xFF)
+        wid = (rec[s] >> np.int32(16)) & np.int32(0x7FFF)
         written = rec[s] >= 0
 
         if s == 0:
@@ -202,7 +204,8 @@ def replay_render(scene: Scene, assets: SceneAssets,
 
         is_sphere = code < ns if ns else jnp.zeros_like(valid)
         is_plane = (code >= ns) & (code < ns + npl)
-        is_solid = (is_sphere | is_plane) & valid
+        is_tri = (code == 126) & valid if nt else jnp.zeros_like(valid)
+        is_solid = (is_sphere | is_plane) & valid | is_tri
         is_light = (code >= 64) & (code < 64 + nl) & valid
         is_miss = (code == 127) & valid
 
@@ -233,6 +236,34 @@ def replay_render(scene: Scene, assets: SceneAssets,
         hit = o + t[:, None] * d
         n_vec = jnp.where(is_sphere[:, None],
                           _normalize(hit - center), p_nrm)
+
+        if nt:
+            # recorded-winner triangle: Moller-Trumbore t with the search
+            # replaced by the recorded id (primitives.py:161-177, double-
+            # faced normal flip trace.py:306-310; kernel pallas_trace.py
+            # tri_closest / record emission)
+            widc = jnp.clip(wid, 0, nt - 1)
+            v0 = jnp.take(scene.tri_v0, widc, axis=0)
+            e1 = jnp.take(scene.tri_v1, widc, axis=0) - v0
+            e2 = jnp.take(scene.tri_v2, widc, axis=0) - v0
+            pvec = jnp.cross(d, e2)
+            det = pr.dot3(e1, pvec)
+            inv_det = 1.0 / jnp.where(det != 0, det, 1.0)
+            inv_det = jnp.where(det != 0, inv_det, 0.0)
+            tvec = o - v0
+            t_tri = pr.dot3(e2, jnp.cross(tvec, e1)) * inv_det
+            tn = _normalize(jnp.cross(e1, e2))
+            tn = jnp.where(pr.dot3(tn, d)[:, None] > 0, -tn, tn)
+            t = jnp.where(is_tri, t_tri, t)
+            hit = o + t[:, None] * d
+            n_vec = jnp.where(is_tri[:, None], tn, n_vec)
+            tri_m = {f: jnp.take(getattr(scene.tri_mat, f).astype(F32),
+                                 widc) for f in _MAT_FIELDS}
+            m = {k: jnp.where(is_tri, tri_m[k], v) for k, v in m.items()}
+            m_rgb = jnp.where(is_tri[:, None],
+                              jnp.take(scene.tri_mat.rgb, widc, axis=0),
+                              m_rgb)
+
         ph = hit + eps * n_vec
 
         # ---- texel picks: sky on miss (raytracing.cl:61-81) and plane
