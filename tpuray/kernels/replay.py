@@ -172,8 +172,11 @@ def replay_render(scene: Scene, assets: SceneAssets,
     # plane tangent bases (ray-independent, as in the kernel)
     pb0, pb1 = pr.plane_texture_basis(scene.plane_normal)  # [npl, 3] each
 
-    # per-node child-candidate buffer: refl (o3 d3 f n1) ++ refr (o3 d3 f n1)
-    buf = jnp.zeros((Krec, n_pix, 16), F32)
+    # per-node child-candidate records: refl (o3 d3 f n1) ++ refr
+    # (o3 d3 f n1), one [n_pix, 16] entry per slot (a python list, not a
+    # stacked buffer: .at[s].set on a [Krec, n_pix, 16] array costs a
+    # whole-buffer copy per slot, and its AD another)
+    bufs = []
     img = jnp.zeros((n_pix, 3), F32)
 
     for s in range(Krec):
@@ -191,8 +194,13 @@ def replay_render(scene: Scene, assets: SceneAssets,
             has_par = (pbyte & 0x80) != 0
             branch = (pbyte >> 6) & 1          # 0 = reflect, 1 = refract
             pslot = jnp.clip(pbyte & 0x3F, 0, Krec - 1)
-            par = jnp.take_along_axis(
-                buf, pslot[None, :, None], axis=0)[0]     # [n_pix, 16]
+            # one-hot reduction instead of take_along_axis: a per-pixel
+            # dynamic gather costs ~7 ns/element on TPU; the masked sum
+            # over earlier slots is pure VPU work and an order of
+            # magnitude cheaper (parents can only live in earlier slots)
+            par = jnp.zeros((n_pix, 16), F32)
+            for k in range(s):
+                par = par + jnp.where((pslot == k)[:, None], bufs[k], 0.0)
             side = jnp.where((branch == 1)[:, None], par[:, 8:16],
                              par[:, 0:8])
             o = side[:, 0:3]
@@ -287,8 +295,9 @@ def replay_render(scene: Scene, assets: SceneAssets,
 
         if evi is not None:
             emit = is_miss | textured
-            idx_rec = jnp.take_along_axis(
-                evi, jnp.clip(ecnt, 0, Kev - 1)[None, :], axis=0)[0]
+            ec = jnp.clip(ecnt, 0, Kev - 1)
+            esel = (jnp.arange(Kev)[:, None] == ec[None, :])
+            idx_rec = jnp.sum(jnp.where(esel, evi, 0), axis=0)
             use_rec = emit & (ecnt < Kev) & (idx_rec >= 0)
             rec_rgb = atlas_rgb(idx_rec)
             sky_rgb = jnp.where((use_rec & is_miss)[:, None], rec_rgb,
@@ -341,7 +350,7 @@ def replay_render(scene: Scene, assets: SceneAssets,
         can_refr = is_solid & (m["transparent"] > 0.5) & (ra < 1.0) & ~tir
         f_refr = jnp.where(can_refr, f * (1.0 - ra), 0.0)
 
-        buf = buf.at[s].set(jnp.concatenate([
+        bufs.append(jnp.concatenate([
             ph, refl_d, f_refl[:, None], n1[:, None],
             co, refr_d, f_refr[:, None], n2[:, None]], axis=1))
 
