@@ -130,6 +130,24 @@ class TestPallasVsXla:
         # float path differs at the last ulp -> tiny tolerance
         assert (dd < 1e-2).mean() > 0.999, f"mismatch frac {(dd >= 1e-2).mean()}"
 
+    def test_chunked_resolve_matches_direct(self, monkeypatch):
+        """The event resolve chunks its row-gather when a tier exceeds
+        CHUNK_EV events (bounds XLA's materialized [E, 64] temp); forcing
+        a tiny chunk must not change the image."""
+        from tpuray.kernels import pallas_trace as pt
+        scene = load_scene(RENDER_MAP).to_scene()
+        assets = load_default_assets()
+        W, H = 128, 32
+        cfg = RenderConfig(width=W, height=H, max_depth=3, chunk_size=0)
+        cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR, 90.0, 1.0)
+        basis = perspective_basis(cam, W, H)
+        direct = np.asarray(pt.render_pallas(scene, assets, basis, cfg,
+                                             interpret=True))
+        monkeypatch.setattr(pt, "CHUNK_EV", 1024)
+        chunked = np.asarray(pt.render_pallas(scene, assets, basis, cfg,
+                                              interpret=True))
+        np.testing.assert_array_equal(direct, chunked)
+
 
 class TestKernelMathParity:
     """The megakernel's helper math is plain jnp on (S,128) registers, so

@@ -63,6 +63,16 @@ TILE = SUBLANES * LANES
 
 EV_NONE = np.int32(-1)
 
+# Event-resolve chunking: XLA materializes the row-gather intermediate
+# ([E, 64] u32, 256 B/event) when the one-hot select does not fuse into
+# the gather, so _resolve_events processes at most CHUNK_EV events per
+# step.  9M events = a 2.3 GB temp — big enough that every hot tier
+# (slot 0 dense is one pixel's worth, <= 8.3M at 4K) runs direct, small
+# enough that the adversarial wide dense-fallback branches (which would
+# otherwise allocate tens of GB) stay compilable.  Module-level so tests
+# can monkeypatch it to exercise the chunked path at test sizes.
+CHUNK_EV = 9_000_000
+
 
 # ---------------------------------------------------------------------------
 # uniform packing: scene + camera basis -> one flat f32 array (SMEM)
@@ -1398,15 +1408,6 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
         return ((scale * ((texel >> 16) & 0xFF).astype(F32)).sum(axis=1),
                 (scale * ((texel >> 8) & 0xFF).astype(F32)).sum(axis=1),
                 (scale * (texel & 0xFF).astype(F32)).sum(axis=1))
-
-    # XLA materializes the row intermediate ([E, 64] u32) when the select
-    # does not fuse into the gather; bound that temp (256 B/event) by
-    # processing at most CHUNK_EV events per step.  9M events = a 2.3 GB
-    # temp — big enough that every hot tier (slot 0 dense is one pixel's
-    # worth, <= 8.3M at 4K) runs direct, small enough that the adversarial
-    # wide dense-fallback branches (which would otherwise allocate tens of
-    # GB) stay compilable.
-    CHUNK_EV = 9_000_000
 
     def texel_sum(idx, w):
         """Weighted texel rgb summed over the slot axis (axis 1).
