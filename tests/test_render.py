@@ -47,6 +47,36 @@ def _tiny_scene() -> SceneSpec:
     )
 
 
+class TestRowOffsetRays:
+    def test_row0_generates_the_global_row_block(self):
+        """generate_rays(row0=r) must equal rows [r, r+h) of the full-image
+        rays — the contract row-sharded rendering and the sharded replay
+        VJP rely on (parallel/shard.py, kernels/replay.py)."""
+        basis = perspective_basis(_golden_camera(), 64, 48)
+        o_full, d_full = generate_rays(basis, 64, 48)
+        o_shard, d_shard = generate_rays(basis, 64, 16, row0=24.0)
+        np.testing.assert_array_equal(
+            np.asarray(d_shard),
+            np.asarray(d_full).reshape(48, 64, 3)[24:40].reshape(-1, 3))
+        np.testing.assert_array_equal(np.asarray(o_shard),
+                                      np.asarray(o_full)[:16 * 64])
+
+
+class TestCheckedRenderFallback:
+    def test_xla_engine_returns_zero_drop_info(self):
+        """render_from_basis_checked on a scene the megakernel does not
+        take (force engine='xla') reports the XLA engine with no drops."""
+        from tpuray.render import render_from_basis_checked
+        scene = _tiny_scene().to_scene()
+        assets = solid_assets()
+        cfg = RenderConfig(width=32, height=16, max_depth=2, chunk_size=0,
+                           engine="xla")
+        basis = perspective_basis(_golden_camera(), 32, 16)
+        img, info = render_from_basis_checked(scene, assets, basis, cfg)
+        assert img.shape == (16, 32, 3)
+        assert info["engine"] == "xla" and info["dropped"] == 0
+
+
 class TestGoldenParity:
     STRIDE = 331  # prime: samples all over the image
 
