@@ -26,8 +26,36 @@ BASELINE_MRAYS = 100.0
 N_CHAIN = 5
 
 
+def _wait_for_axon_relay(tries: int = 30, delay: float = 10.0) -> bool:
+    """The first jax backend init hangs forever when the axon tunnel
+    relay is down; probe it (retrying — it may be restarting) and fail
+    FAST with a clear message instead of hanging the driver."""
+    import socket
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+        return True
+    for i in range(tries):
+        try:
+            socket.create_connection(("127.0.0.1", 8103), timeout=5).close()
+            return True
+        except OSError:
+            if i + 1 < tries:
+                time.sleep(delay)
+    return False
+
+
 def main():
     import functools
+
+    if not _wait_for_axon_relay():
+        print(json.dumps({
+            "metric": "primary_mrays_per_s_1080p_depth4",
+            "value": 0.0, "unit": "Mrays/s/chip", "vs_baseline": 0.0,
+            "error": "axon relay down (port 8103 unreachable); TPU "
+                     "unavailable — see BASELINE.md for the last "
+                     "measured value (85.2 Mrays/s)"}))
+        sys.exit(0)
 
     import jax
     import jax.numpy as jnp
