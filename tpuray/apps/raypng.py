@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--depth", type=int, default=15)
     ap.add_argument("--shadow-samples", type=int, default=2)
+    ap.add_argument("--skybox", default="bg/stormydays.png",
+                    help="cross-layout cubemap relative to the asset dir "
+                         "(the reference also ships bg/lake.png)")
     ap.add_argument("--chunk-size", type=int, default=65536)
     ap.add_argument("--compare-golden", action="store_true",
                     help="diff the output against the reference's committed "
@@ -49,7 +52,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     scene = load_scene(args.scene).to_scene()
-    assets = load_default_assets()
+    assets = load_default_assets(skybox=args.skybox)
     cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR,
                  GOLDEN_CAMERA_FOV, GOLDEN_CAMERA_FOCAL)
     cfg = RenderConfig(width=args.width, height=args.height,

@@ -59,10 +59,15 @@ def load_skybox(path: str) -> jnp.ndarray:
     return jnp.asarray(im)
 
 
-def load_default_assets(asset_dir: str = REFERENCE_ASSETS) -> SceneAssets:
-    """The exact asset set the reference apps bind (raypng.c:74-81)."""
+def load_default_assets(asset_dir: str = REFERENCE_ASSETS,
+                        skybox: str = DEFAULT_SKYBOX) -> SceneAssets:
+    """The exact asset set the reference apps bind (raypng.c:74-81).
+
+    ``skybox``: cross-layout cubemap path relative to ``asset_dir`` —
+    the reference ships two (``bg/stormydays.png``, used, and
+    ``bg/lake.png``, the unused alternative; both load here)."""
     tex = load_textures([os.path.join(asset_dir, t) for t in DEFAULT_TEXTURES])
-    sky = load_skybox(os.path.join(asset_dir, DEFAULT_SKYBOX))
+    sky = load_skybox(os.path.join(asset_dir, skybox))
     return SceneAssets(textures=tex, skybox=sky)
 
 
