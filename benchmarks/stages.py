@@ -83,6 +83,13 @@ def main(argv=None):
         5: ("512x384_depth3_mesh7k", pallas,
             mesh_benchmark_scene(4).to_scene(),
             RenderConfig(width=512, height=384, max_depth=3, chunk_size=0)),
+        # the full BASELINE config 5 (10k-triangle mesh, 4K, depth 6);
+        # the multi-host sharding half of that config needs real v5e-16
+        # hardware — this measures the single-chip render
+        6: ("3840x2160_depth6_mesh10k", pallas,
+            mesh_benchmark_scene(4, torus_res=(64, 40)).to_scene(),
+            RenderConfig(width=3840, height=2160, max_depth=6,
+                         chunk_size=0)),
     }
 
     for s in sorted(stages):

@@ -110,16 +110,22 @@ def add_mesh(spec: SceneSpec, verts: np.ndarray, faces: np.ndarray,
     return spec
 
 
-def mesh_benchmark_scene(order: int = 4) -> SceneSpec:
+def mesh_benchmark_scene(order: int = 4,
+                         torus_res: Tuple[int, int] = (48, 24)) -> SceneSpec:
     """The BASELINE config-5 style scene: the canonical lights/planes plus
-    a ~5k-20k-triangle icosphere mesh replacing the analytic spheres."""
+    a ~5k-20k-triangle icosphere mesh replacing the analytic spheres.
+
+    Triangle count = 20*4^order + 2*nu*nv: the defaults give 7,424; the
+    full BASELINE config 5 ("10k-triangle mesh") uses
+    ``torus_res=(64, 40)`` for 10,240.
+    """
     from .scene import PLASTIC, canonical_scene_spec
     spec = canonical_scene_spec()
     spec.spheres = spec.spheres[:2]   # keep two analytic spheres
     v, f = icosphere(order)
     add_mesh(spec, v, f, PLASTIC.replace(rgb=(0.9, 0.7, 0.2)),
              scale=0.8, offset=(0.8, 0.8, 1.5))
-    v2, f2 = torus()
+    v2, f2 = torus(nu=torus_res[0], nv=torus_res[1])
     add_mesh(spec, v2, f2, PLASTIC.replace(rgb=(0.2, 0.8, 0.9)),
              scale=0.6, offset=(-0.6, 0.8, -1.0))
     return spec
