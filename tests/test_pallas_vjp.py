@@ -97,6 +97,22 @@ class TestReplayForward:
         assert d.max() < 1e-1, f"replay mismatch: max|d|={d.max()}"
 
 
+class TestReplayOverflowConsistency:
+    def test_replay_matches_degraded_kernel_image_under_overflow(self):
+        """When the event buffer overflows, the kernel image silently
+        drops the overflowed texel contributions — the replay must drop
+        exactly the same ones so the custom VJP differentiates the image
+        the loss actually saw (code-review finding, round 2)."""
+        scene, assets, cfg, basis = _setup(width=48, height=32, depth=4)
+        cfg = cfg.replace(event_slots=1)   # force drops
+        img, records = render_pallas_record(scene, assets, basis, cfg,
+                                            interpret=True)
+        rep = replay_render(scene, assets, basis, records, cfg)
+        d = np.abs(np.asarray(img) - np.asarray(rep))
+        assert d.mean() < 1e-3, f"replay/kernel divergence: {d.mean()}"
+        assert d.max() < 5e-2, f"replay/kernel divergence: {d.max()}"
+
+
 class TestOverflowFeedback:
     def test_checked_render_reports_and_capacity_fix_is_lossless(self):
         """Event-overflow telemetry: a starved event buffer must report

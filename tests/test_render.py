@@ -62,6 +62,24 @@ class TestRowOffsetRays:
                                       np.asarray(o_full)[:16 * 64])
 
 
+class TestBilinearRouting:
+    def test_forced_pallas_engine_rejects_bilinear(self):
+        """Bilinear filtering is XLA-tracer-only; engine='pallas' must
+        reject it loudly instead of silently rendering nearest (code-
+        review finding, round 2).  engine='auto' routes it to the tracer
+        (pallas_supported returns False for filter != 'nearest')."""
+        import pytest
+
+        from tpuray.kernels.pallas_trace import pallas_supported
+        from tpuray.render import _use_pallas
+        scene = _tiny_scene().to_scene()
+        cfg = RenderConfig(width=16, height=16, max_depth=1,
+                           filter="bilinear", engine="pallas")
+        with pytest.raises(ValueError, match="bilinear"):
+            _use_pallas(scene, cfg)
+        assert not pallas_supported(scene, cfg.replace(engine="auto"))
+
+
 class TestCheckedRenderFallback:
     def test_xla_engine_returns_zero_drop_info(self):
         """render_from_basis_checked on a scene the megakernel does not

@@ -55,6 +55,8 @@ class RenderConfig:
     # the golden comparison requires; 'bilinear' interpolates the 4
     # neighboring texels, which also gives texture lookups a spatial
     # derivative (hit-point gradients flow through the fractional weights).
+    # Bilinear is implemented by the XLA tracer only — engine='auto'
+    # routes it there; engine='pallas' rejects it.
     filter: str = "nearest"
 
     # Node-record slots per pixel for the Pallas record-mode forward (the
@@ -68,9 +70,7 @@ class RenderConfig:
     def resolved_event_slots(self) -> int:
         if self.event_slots:
             return self.event_slots
-        slots = min(2 ** (self.max_depth + 1) - 1, 24)
-        # bilinear emits 4 weighted events per texel fetch
-        return slots * 4 if self.filter == "bilinear" else slots
+        return min(2 ** (self.max_depth + 1) - 1, 24)
 
     def resolved_record_slots(self) -> int:
         if self.record_slots:

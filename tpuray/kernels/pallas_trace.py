@@ -66,11 +66,12 @@ EV_NONE = np.int32(-1)
 # Event-resolve chunking: XLA materializes the row-gather intermediate
 # ([E, 64] u32, 256 B/event) when the one-hot select does not fuse into
 # the gather, so _resolve_events processes at most CHUNK_EV events per
-# step.  9M events = a 2.3 GB temp — big enough that every hot tier
-# (slot 0 dense is one pixel's worth, <= 8.3M at 4K) runs direct, small
-# enough that the adversarial wide dense-fallback branches (which would
-# otherwise allocate tens of GB) stay compilable.  Module-level so tests
-# can monkeypatch it to exercise the chunked path at test sizes.
+# step.  9M events = a 2.3 GB temp: the dense width-2 tier runs direct
+# through 1080p (4.1M events) and splits into two chunks at 4K (16.6M —
+# measured 151.9 ms total, the chunk pad costs ~8%), while the
+# adversarial wide dense-fallback branches (which would otherwise
+# allocate tens of GB) stay compilable.  Module-level so tests can
+# monkeypatch it to exercise the chunked path at test sizes.
 CHUNK_EV = 9_000_000
 
 
@@ -882,12 +883,13 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     return (ox, oy, oz, dx, dy, dz,
                             tri_attrs[0], tri_attrs[1], tri_attrs[2],
                             f, n1, dep, sp, rng, jnp.ones_like(done_i),
-                            ec, it)
+                            ec, it, rec_cnt, pcode)
                 dbg_t = jnp.where(jnp.isfinite(t_tri), t_tri, -1.0)
                 dbg_n = nx * nx + nyv * nyv + nz * nz
                 dbg_b = jnp.where(jnp.isfinite(bt), bt, -1.0)
                 return (ox, oy, oz, dx, dy, dz, dbg_t, dbg_n, dbg_b,
-                        f, n1, dep, sp, rng, jnp.ones_like(done_i), ec, it)
+                        f, n1, dep, sp, rng, jnp.ones_like(done_i), ec, it,
+                        rec_cnt, pcode)
 
             is_light = do_work & light_hit
             is_miss = do_work & ~light_hit & ~solid_hit
@@ -1603,5 +1605,9 @@ def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The Pallas engine covers the full feature set — spheres, planes,
     lights, textures, skybox AND triangle meshes (in-kernel MXU blocks) —
     up to the VMEM budget for the triangle tables; beyond that the XLA
-    tracer takes over."""
-    return scene.num_triangles <= TRI_MAX_TRIANGLES
+    tracer takes over.  Bilinear texel filtering is XLA-tracer-only (the
+    megakernel's deferred events are nearest-fetch), so ``engine='auto'``
+    routes filter='bilinear' renders to the tracer rather than silently
+    nearest-filtering them."""
+    return scene.num_triangles <= TRI_MAX_TRIANGLES \
+        and cfg.filter == "nearest"

@@ -305,14 +305,25 @@ def replay_render(scene: Scene, assets: SceneAssets,
             texel = jnp.where((use_rec & textured)[:, None], rec_rgb,
                               texel)
             ecnt = ecnt + emit.astype(jnp.int32)
+            # events the kernel could NOT store (overflow past Kev) were
+            # dropped from the primal image; drop their radiance here too
+            # so the VJP differentiates the image the loss actually saw,
+            # not a lossless reconstruction of it
+            sky_on = is_miss & use_rec
+            amb_tex_on = ~textured | use_rec
+        else:
+            sky_on = is_miss
+            amb_tex_on = jnp.ones_like(is_miss)
 
-        img = img + jnp.where(is_miss, f, 0.0)[:, None] * sky_rgb
+        img = img + jnp.where(sky_on, f, 0.0)[:, None] * sky_rgb
 
         # ambient (raytracing.cl:83-84); the texel color is constant,
-        # f/ambient stay differentiable
+        # f/ambient stay differentiable.  For textured hits the kernel
+        # defers the whole f*ambient*texel product as the event's weight,
+        # so a dropped event zeroes the entire term.
         amb_rgb = jnp.where(textured[:, None], texel, m_rgb)
-        img = img + jnp.where(is_solid, f * m["ambient"], 0.0)[:, None] \
-            * amb_rgb
+        img = img + jnp.where(is_solid & amb_tex_on,
+                              f * m["ambient"], 0.0)[:, None] * amb_rgb
 
         # direct Phong lighting against recorded shadow ratios
         # (raytracing.cl:87-136 with ssr frozen)
@@ -320,8 +331,11 @@ def replay_render(scene: Scene, assets: SceneAssets,
         for li in range(nl):
             lo = scene.light_origin[li]
             sd = _normalize(lo[None, :] - ph)
-            dd = pr.length3(lo[None, :] - ph)
-            dd = jnp.where(dd > 0, dd, 1.0)
+            # gradient-guarded distance: a light landing exactly on the
+            # eps-offset hit point must not NaN the backward (sqrt'(0))
+            dd2 = pr.dot3(lo[None, :] - ph, lo[None, :] - ph)
+            dd = _sqrt_pos(dd2)
+            dd = jnp.where(dd2 > 0, dd, 1.0)
             fall = INV_PI * scene.light_intensity[li] / (dd * dd) \
                 * ssr[s, li]
             half = _normalize(v_dir + sd)
