@@ -107,6 +107,34 @@ class TestGoldenFullImage:
         assert ev["dropped_events"] < cfg.num_pixels * 0.05
 
 
+class TestGoldenSlabInterpret:
+    """Megakernel-vs-golden WITHOUT TPU hardware: render a full-width
+    row slab of the reference image in Pallas interpret mode via the
+    row0 uniform (the row-sharded rendering contract) and compare the
+    slab against the committed out/scene.png rows.  This keeps a direct
+    megakernel->reference link in the CPU-only suite; the full 800x600
+    image runs under @tpu_only above."""
+
+    def test_golden_rows_interpret(self):
+        from tpuray.io import GOLDEN_PNG, read_png
+        from tpuray.kernels.pallas_trace import render_pallas
+        scene = load_scene(RENDER_MAP).to_scene()
+        assets = load_default_assets()
+        full = RenderConfig(chunk_size=0)     # 800x600 depth 15
+        ROW0, ROWS = 288, 16                  # mid-image: ground + spheres
+        cfg = full.replace(height=ROWS)
+        cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR,
+                     GOLDEN_CAMERA_FOV, GOLDEN_CAMERA_FOCAL)
+        basis = perspective_basis(cam, full.width, full.height)
+        img = np.asarray(render_pallas(scene, assets, basis, cfg,
+                                       interpret=True, row0=float(ROW0)))
+        q = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        gold = read_png(GOLDEN_PNG)[ROW0:ROW0 + ROWS]
+        d = np.abs(q.astype(np.int32) - gold.astype(np.int32))
+        assert d.mean() < 1.0, f"mean|d|={d.mean()}"
+        assert (d <= 8).mean() > 0.99, f"within-8 {(d <= 8).mean()}"
+
+
 @tpu_only
 class TestPallasVsXla:
     def test_matches_xla_tracer(self):
