@@ -97,6 +97,43 @@ class TestReplayForward:
         assert d.max() < 1e-1, f"replay mismatch: max|d|={d.max()}"
 
 
+class TestReplayBilinear:
+    def test_bilinear_replay_reproduces_megakernel_render(self):
+        """Record mode with cfg.filter='bilinear': the kernel emits 4
+        weighted events per fetch; the replay re-reads the 4 recorded
+        taps with recomputed (differentiable) fractional weights and must
+        reproduce the kernel's image."""
+        scene, assets, cfg, basis = _setup(width=48, height=32, depth=2)
+        cfg = cfg.replace(filter="bilinear")
+        img, records = render_pallas_record(scene, assets, basis, cfg,
+                                            interpret=True)
+        rep = replay_render(scene, assets, basis, records, cfg)
+        d = np.abs(np.asarray(img) - np.asarray(rep))
+        assert d.mean() < 1e-3, f"replay mismatch: mean|d|={d.mean()}"
+        assert d.max() < 5e-2, f"replay mismatch: max|d|={d.max()}"
+
+    def test_bilinear_replay_gives_spatial_texture_gradients(self):
+        """The whole point of bilinear on the fast path: the recomputed
+        tap weights give texture lookups a spatial derivative, so
+        plane-geometry params (which move the hit point across texels)
+        get nonzero gradients through the replay."""
+        scene, assets, cfg, basis = _setup(width=32, height=24, depth=2)
+        cfg = cfg.replace(filter="bilinear")
+        _, records = render_pallas_record(scene, assets, basis, cfg,
+                                          interpret=True)
+        d_scene, rest = diff.partition(scene)
+
+        def loss(dd):
+            img = replay_render(diff.combine(dd, rest), assets, basis,
+                                records, cfg)
+            return jnp.sum(img)
+
+        g = jax.grad(loss)(d_scene)
+        assert float(np.abs(np.asarray(g.plane_point)).sum()) > 0
+        for leaf in jax.tree.leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 class TestReplayOverflowConsistency:
     def test_replay_matches_degraded_kernel_image_under_overflow(self):
         """When the event buffer overflows, the kernel image silently

@@ -62,22 +62,31 @@ class TestRowOffsetRays:
                                       np.asarray(o_full)[:16 * 64])
 
 
-class TestBilinearRouting:
-    def test_forced_pallas_engine_rejects_bilinear(self):
-        """Bilinear filtering is XLA-tracer-only; engine='pallas' must
-        reject it loudly instead of silently rendering nearest (code-
-        review finding, round 2).  engine='auto' routes it to the tracer
-        (pallas_supported returns False for filter != 'nearest')."""
-        import pytest
-
-        from tpuray.kernels.pallas_trace import pallas_supported
-        from tpuray.render import _use_pallas
-        scene = _tiny_scene().to_scene()
-        cfg = RenderConfig(width=16, height=16, max_depth=1,
-                           filter="bilinear", engine="pallas")
-        with pytest.raises(ValueError, match="bilinear"):
-            _use_pallas(scene, cfg)
-        assert not pallas_supported(scene, cfg.replace(engine="auto"))
+class TestBilinearMegakernel:
+    def test_megakernel_bilinear_matches_tracer(self):
+        """cfg.filter='bilinear' on the Pallas engine (4 weighted events
+        per fetch, primitives.bilinear_taps order) must reproduce the XLA
+        tracer's bilinear render on the real textured/skyboxed scene."""
+        from tpuray.kernels.pallas_trace import render_pallas
+        from tpuray.render import render_from_basis_xla
+        scene = load_scene(RENDER_MAP).to_scene()
+        assets = load_default_assets()
+        W, H = 128, 32
+        cfg = RenderConfig(width=W, height=H, max_depth=3, chunk_size=0,
+                           filter="bilinear")
+        basis = perspective_basis(_golden_camera(), W, H)
+        a = np.asarray(render_pallas(scene, assets, basis, cfg,
+                                     interpret=True))
+        b = np.asarray(render_from_basis_xla(scene, assets, basis, cfg))
+        d = np.abs(a - b).max(-1)
+        assert not np.isnan(a).any()
+        assert (d < 1e-2).mean() > 0.995, f"mismatch {(d >= 1e-2).mean()}"
+        # bilinear must actually differ from nearest somewhere (the sky
+        # gradient bands / texture edges), or the mode silently no-ops
+        nearest = np.asarray(render_pallas(
+            scene, assets, basis, cfg.replace(filter="nearest"),
+            interpret=True))
+        assert np.abs(a - nearest).max() > 1e-3
 
 
 class TestCheckedRenderFallback:

@@ -55,8 +55,8 @@ class RenderConfig:
     # the golden comparison requires; 'bilinear' interpolates the 4
     # neighboring texels, which also gives texture lookups a spatial
     # derivative (hit-point gradients flow through the fractional weights).
-    # Bilinear is implemented by the XLA tracer only — engine='auto'
-    # routes it there; engine='pallas' rejects it.
+    # Both engines implement both modes (the megakernel emits 4 weighted
+    # events per bilinear fetch).
     filter: str = "nearest"
 
     # Node-record slots per pixel for the Pallas record-mode forward (the
@@ -70,6 +70,10 @@ class RenderConfig:
     def resolved_event_slots(self) -> int:
         if self.event_slots:
             return self.event_slots
+        if self.filter == "bilinear":
+            # 4 weighted events per texel fetch; base slots capped at 16
+            # to bound the per-tile VMEM event buffers at 64 slots
+            return min(2 ** (self.max_depth + 1) - 1, 16) * 4
         return min(2 ** (self.max_depth + 1) - 1, 24)
 
     def resolved_record_slots(self) -> int:

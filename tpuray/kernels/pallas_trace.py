@@ -385,6 +385,42 @@ def _map_to_cube(dx, dy, dz, face: int):
     return u, v
 
 
+def _map_to_cube_float(dx, dy, dz, face: int):
+    """Continuous cubemap coords on (S,128) registers — the bilinear
+    analog of :func:`_map_to_cube` (truncating reproduces it); matches
+    primitives.map_to_cube_float."""
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    fs = np.int32(face)
+    fsf = np.float32(face)
+
+    m = jnp.ones_like(dx)
+    uc = jnp.zeros_like(dx)
+    vc = jnp.zeros_like(dx)
+    su = jnp.zeros_like(dx, I32)
+    sv = jnp.zeros_like(dx, I32)
+
+    def app(cond, mm, u, v, s_u, s_v):
+        nonlocal m, uc, vc, su, sv
+        m = jnp.where(cond, mm, m)
+        uc = jnp.where(cond, u, uc)
+        vc = jnp.where(cond, v, vc)
+        su = jnp.where(cond, np.int32(s_u), su)
+        sv = jnp.where(cond, np.int32(s_v), sv)
+
+    xp, yp, zp = dx > 0, dy > 0, dz > 0
+    app(xp & (ax >= ay) & (ax >= az), ax, -dz, dy, fs * 2, fs)
+    app(~xp & (ax >= ay) & (ax >= az), ax, dz, dy, 0, fs)
+    app(yp & (ay >= ax) & (ay >= az), ay, dx, -dz, fs, fs * 2)
+    app(~yp & (ay >= ax) & (ay >= az), ay, dx, dz, fs, 0)
+    app(zp & (az >= ax) & (az >= ay), az, dx, dy, fs, fs)
+    app(~zp & (az >= ax) & (az >= ay), az, -dx, dy, fs * 3, fs)
+
+    safe = jnp.where(m != 0, m, 1.0)
+    fu = 0.5 * (uc / safe + 1.0)
+    fv = 0.5 * (vc / safe + 1.0)
+    return su.astype(F32) + fu * fsf, sv.astype(F32) + fv * fsf
+
+
 def _plane_basis(nx, ny, nz):
     """primitives.cl:219-235 for scalar plane normal components."""
     # cross(e_i, n) for i = 0,1,2; pick the first with nonzero comp-sum
@@ -436,6 +472,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
     # numpy scalars: python-level constants folded into the kernel (a
     # jnp scalar would be a captured traced constant, which pallas rejects)
     Krec = cfg.resolved_record_slots() if record else 0
+    bilinear = cfg.filter == "bilinear"
     eps = np.float32(cfg.epsilon)
     through = np.float32(cfg.transparent_through)
     default_n = np.float32(cfg.default_n)
@@ -936,21 +973,85 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             emit_sky = is_miss
             emit_tex = textured
             emit = emit_sky | emit_tex
-            eidx = jnp.where(emit_sky, sky_idx, tex_idx)
-            ew = jnp.where(emit_sky, f, f * m["ambient"])
-            can = emit & (ec < K)
+            if not bilinear:
+                eidx = jnp.where(emit_sky, sky_idx, tex_idx)
+                ew = jnp.where(emit_sky, f, f * m["ambient"])
+                can = emit & (ec < K)
 
-            @pl.when(jnp.any(can))
-            def _write_events():
-                cond = jnp.tile(can, (K, 1)) \
-                    & (jnp.tile(ec, (K, 1)) == levK_row)
-                ev_idx_out[:] = jnp.where(cond, jnp.tile(eidx, (K, 1)),
-                                          ev_idx_out[:])
-                ev_w_out[:] = jnp.where(cond, jnp.tile(ew, (K, 1)),
-                                        ev_w_out[:])
+                @pl.when(jnp.any(can))
+                def _write_events():
+                    cond = jnp.tile(can, (K, 1)) \
+                        & (jnp.tile(ec, (K, 1)) == levK_row)
+                    ev_idx_out[:] = jnp.where(cond, jnp.tile(eidx, (K, 1)),
+                                              ev_idx_out[:])
+                    ev_w_out[:] = jnp.where(cond, jnp.tile(ew, (K, 1)),
+                                            ev_w_out[:])
 
-            ec = ec + can.astype(I32)
-            overflow = emit & ~can
+                ec = ec + can.astype(I32)
+                overflow = emit & ~can
+            else:
+                # bilinear: 4 weighted events per fetch (trace.py's
+                # sample_skybox / plane-texture bilinear, emitted in
+                # primitives.bilinear_taps order).  Sky taps clamp the
+                # continuous v-flipped coords; texture taps wrap (tiled).
+                ufs, vfs = _map_to_cube_float(dx, dy, dz, sky_w // 4)
+                yfs = jnp.clip(np.float32(sky_h) - vfs, 0.0,
+                               np.float32(sky_h - 1))
+                xfs = jnp.clip(ufs, 0.0, np.float32(sky_w - 1))
+
+                def _taps(u, v, wi, hi, wrap):
+                    u0f = jnp.floor(u)
+                    v0f = jnp.floor(v)
+                    fu = u - u0f
+                    fv = v - v0f
+                    u0 = u0f.astype(I32)
+                    v0 = v0f.astype(I32)
+                    out = []
+                    for du, dv, wgt in ((0, 0, (1 - fu) * (1 - fv)),
+                                        (1, 0, fu * (1 - fv)),
+                                        (0, 1, (1 - fu) * fv),
+                                        (1, 1, fu * fv)):
+                        x2 = u0 + np.int32(du)
+                        y2 = v0 + np.int32(dv)
+                        if wrap:
+                            x2 = jnp.mod(x2, np.int32(wi))
+                            y2 = jnp.mod(y2, np.int32(hi))
+                        else:
+                            x2 = jnp.clip(x2, 0, np.int32(wi - 1))
+                            y2 = jnp.clip(y2, 0, np.int32(hi - 1))
+                        out.append((x2, y2, wgt))
+                    return out
+
+                sky_taps = _taps(xfs, yfs, sky_w, sky_h, False)
+                tex_taps = _taps(ui, vi, tex_w, tex_h, True)
+                tid_i = tex_id.astype(I32)
+                can = emit & (ec + 3 < K)
+
+                @pl.when(jnp.any(can))
+                def _write_events4():
+                    for t in range(4):
+                        sx_t, sy_t, sw_t = sky_taps[t]
+                        tx_t, ty_t, tw_t = tex_taps[t]
+                        idx_t = jnp.where(
+                            emit_sky,
+                            np.int32(sky_base) + sy_t * np.int32(sky_w)
+                            + sx_t,
+                            (tid_i * np.int32(tex_h) + ty_t)
+                            * np.int32(tex_w) + tx_t)
+                        w_t = jnp.where(emit_sky, f * sw_t,
+                                        f * m["ambient"] * tw_t)
+                        cond = jnp.tile(can, (K, 1)) \
+                            & (jnp.tile(ec + np.int32(t), (K, 1))
+                               == levK_row)
+                        ev_idx_out[:] = jnp.where(
+                            cond, jnp.tile(idx_t, (K, 1)), ev_idx_out[:])
+                        ev_w_out[:] = jnp.where(
+                            cond, jnp.tile(w_t, (K, 1)), ev_w_out[:])
+
+                ec = ec + 4 * can.astype(I32)
+                # a dropped fetch loses 4 event slots (the overflow
+                # counter feeds needed-capacity calculations)
+                overflow = emit & ~can
 
             # --- accumulate in-register color ---
             fl = f
@@ -1222,7 +1323,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
             return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_cx, n_cy, n_cz,
                     n_f, n_n1, n_dep, n_sp, rng, n_done, ec,
-                    it + overflow.astype(I32), rec_cnt, n_pc)
+                    it + (4 if bilinear else 1) * overflow.astype(I32),
+                    rec_cnt, n_pc)
 
         init = (ox, oy, oz, dx, dy, dz, zero, zero, zero,
                 zero + 1.0, zero + default_n, izero, izero + 1,
@@ -1603,11 +1705,7 @@ def render_pallas_stats(scene: Scene, assets: SceneAssets,
 
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The Pallas engine covers the full feature set — spheres, planes,
-    lights, textures, skybox AND triangle meshes (in-kernel MXU blocks) —
-    up to the VMEM budget for the triangle tables; beyond that the XLA
-    tracer takes over.  Bilinear texel filtering is XLA-tracer-only (the
-    megakernel's deferred events are nearest-fetch), so ``engine='auto'``
-    routes filter='bilinear' renders to the tracer rather than silently
-    nearest-filtering them."""
-    return scene.num_triangles <= TRI_MAX_TRIANGLES \
-        and cfg.filter == "nearest"
+    lights, textures, skybox (nearest AND bilinear filtering) and
+    triangle meshes (in-kernel MXU blocks) — up to the VMEM budget for
+    the triangle tables; beyond that the XLA tracer takes over."""
+    return scene.num_triangles <= TRI_MAX_TRIANGLES

@@ -275,36 +275,78 @@ def replay_render(scene: Scene, assets: SceneAssets,
         ph = hit + eps * n_vec
 
         # ---- texel picks: sky on miss (raytracing.cl:61-81) and plane
-        # texture on textured hit (primitives.cl:217-259), both nearest.
-        # The recomputed indices are the fallback; where the kernel
+        # texture on textured hit (primitives.cl:217-259).
+        # Nearest: the recomputed index is the fallback; where the kernel
         # recorded a texel event this slot re-uses that exact index so
         # texel-boundary pixels match the kernel bit-for-bit (the index
         # is discrete either way — only weights carry gradients).
-        uu, vv = pr.map_to_cube(d, sky_w // 4)
-        syy = jnp.clip(np.int32(sky_h) - vv, 0, sky_h - 1)
-        sxx = jnp.clip(uu, 0, sky_w - 1)
-        sky_rgb = sky[syy, sxx]                     # [n_pix, 3], constant
-
+        # Bilinear: 4 taps per fetch; indices come from the 4 recorded
+        # events, the fractional weights are RECOMPUTED differentiably —
+        # this is where bilinear's spatial texture/sky gradient flows.
+        textured = is_solid & is_plane & (m["texture_id"] > -0.5)
         b0 = oh_p @ pb0
         b1 = oh_p @ pb1
-        xi, yi = pr.texture_texel_coords(b0, b1, hit, m["texture_scale"],
-                                         tex_h, tex_w)
         tid = jnp.clip(m["texture_id"].astype(jnp.int32), 0, None)
-        texel = tex[tid, yi, xi]                    # [n_pix, 3], constant
-        textured = is_solid & is_plane & (m["texture_id"] > -0.5)
+        emit = is_miss | textured
+        bilin = cfg.filter == "bilinear"
+        n_ev = 4 if bilin else 1
+
+        def rec_at(t):
+            """Recorded event index at slot ecnt + t (-1 = none)."""
+            ec = jnp.clip(ecnt + t, 0, Kev - 1)
+            esel = (jnp.arange(Kev)[:, None] == ec[None, :])
+            return jnp.sum(jnp.where(esel, evi, 0), axis=0)
+
+        if not bilin:
+            uu, vv = pr.map_to_cube(d, sky_w // 4)
+            syy = jnp.clip(np.int32(sky_h) - vv, 0, sky_h - 1)
+            sxx = jnp.clip(uu, 0, sky_w - 1)
+            sky_rgb = sky[syy, sxx]                 # [n_pix, 3], constant
+            xi, yi = pr.texture_texel_coords(b0, b1, hit,
+                                             m["texture_scale"],
+                                             tex_h, tex_w)
+            texel = tex[tid, yi, xi]                # [n_pix, 3], constant
+            if evi is not None:
+                idx_rec = rec_at(0)
+                use_rec = emit & (ecnt < Kev) & (idx_rec >= 0)
+                rec_rgb = atlas_rgb(idx_rec)
+                sky_rgb = jnp.where((use_rec & is_miss)[:, None], rec_rgb,
+                                    sky_rgb)
+                texel = jnp.where((use_rec & textured)[:, None], rec_rgb,
+                                  texel)
+        else:
+            # recomputed continuous coords (trace.py's bilinear paths)
+            ufs, vfs = pr.map_to_cube_float(d, sky_w // 4)
+            yfs = jnp.clip(F32(sky_h) - vfs, 0.0, F32(sky_h - 1))
+            xfs = jnp.clip(ufs, 0.0, F32(sky_w - 1))
+            sky_taps = pr.bilinear_taps(xfs, yfs, sky_w, sky_h, wrap=False)
+            uif = pr.dot3(b0, hit) * m["texture_scale"]
+            vif = pr.dot3(b1, hit) * m["texture_scale"]
+            uif = jnp.where(jnp.isfinite(uif), uif, 0.0)
+            vif = jnp.where(jnp.isfinite(vif), vif, 0.0)
+            tex_taps = pr.bilinear_taps(uif, vif, tex_w, tex_h, wrap=True)
+            if evi is not None:
+                use_rec = emit & (ecnt + (n_ev - 1) < Kev)
+            sky_rgb = jnp.zeros((n_pix, 3), F32)
+            texel = jnp.zeros((n_pix, 3), F32)
+            for t in range(4):
+                sxt, syt, swt = sky_taps[t]
+                txt, tyt, twt = tex_taps[t]
+                s_rgb_t = sky[syt, sxt]      # already f32 [0,1]
+                x_rgb_t = tex[tid, tyt, txt]
+                if evi is not None:
+                    r_t = rec_at(t)
+                    ok_t = use_rec & (r_t >= 0)
+                    r_rgb_t = atlas_rgb(r_t)
+                    s_rgb_t = jnp.where((ok_t & is_miss)[:, None],
+                                        r_rgb_t, s_rgb_t)
+                    x_rgb_t = jnp.where((ok_t & textured)[:, None],
+                                        r_rgb_t, x_rgb_t)
+                sky_rgb = sky_rgb + swt[:, None] * s_rgb_t
+                texel = texel + twt[:, None] * x_rgb_t
 
         if evi is not None:
-            emit = is_miss | textured
-            ec = jnp.clip(ecnt, 0, Kev - 1)
-            esel = (jnp.arange(Kev)[:, None] == ec[None, :])
-            idx_rec = jnp.sum(jnp.where(esel, evi, 0), axis=0)
-            use_rec = emit & (ecnt < Kev) & (idx_rec >= 0)
-            rec_rgb = atlas_rgb(idx_rec)
-            sky_rgb = jnp.where((use_rec & is_miss)[:, None], rec_rgb,
-                                sky_rgb)
-            texel = jnp.where((use_rec & textured)[:, None], rec_rgb,
-                              texel)
-            ecnt = ecnt + emit.astype(jnp.int32)
+            ecnt = ecnt + n_ev * emit.astype(jnp.int32)
             # events the kernel could NOT store (overflow past Kev) were
             # dropped from the primal image; drop their radiance here too
             # so the VJP differentiates the image the loss actually saw,

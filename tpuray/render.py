@@ -39,11 +39,6 @@ def _pad_to(x, n, axis=0):
 def _use_pallas(scene: Scene, cfg: RenderConfig) -> bool:
     from .kernels.pallas_trace import pallas_supported
     if cfg.engine == "pallas":
-        if cfg.filter != "nearest":
-            raise ValueError(
-                "the Pallas engine only implements filter='nearest'; "
-                "bilinear filtering runs on the XLA tracer (engine='xla' "
-                "or 'auto')")
         return True
     if cfg.engine == "xla":
         return False
