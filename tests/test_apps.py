@@ -95,6 +95,17 @@ class TestInvrender:
         out = capsys.readouterr().out
         assert "recovered vs truth" in out
 
+    def test_pallas_engine_smoke(self, tmp_path):
+        """engine='pallas' end to end (record preflight + replay-VJP
+        steps) — runs in Pallas interpret mode on the CPU backend."""
+        from tpuray.apps import invrender
+        ck = str(tmp_path / "inv_p.npz")
+        err0, err1 = invrender.main(
+            ["--steps", "3", "--width", "24", "--height", "16",
+             "--depth", "2", "--engine", "pallas",
+             "--checkpoint", ck, "--every", "1"])
+        assert np.isfinite(err1)
+
     def test_recovers_render_map_params_within_tolerance(self, tmp_path):
         """BASELINE config 4 (VERDICT r1 item 5): recover render.map's
         material params + light positions from the golden-scene target,

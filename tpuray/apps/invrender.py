@@ -174,8 +174,25 @@ def main(argv=None):
     # optimizer off the basin; clamping saturates blob interiors so the
     # smooth falloff/highlight signals drive the fit
     if engine == "pallas":
+        # preflight: size the node-record buffer to the scene's actual
+        # worst-case DFS path count, so the replay backward loses no
+        # subtree gradients (the record analog of the event-overflow
+        # feedback loop in render_from_basis_checked)
+        from ..kernels.pallas_trace import render_pallas_record
+        interp = jax.default_backend() == "cpu"   # Mosaic needs TPU
+        _, rec0 = render_pallas_record(truth, assets, basis, cfg,
+                                       interpret=interp)
+        need = int(rec0["max_nodes"])
+        if need > cfg.resolved_record_slots():
+            if need > 64:
+                print(f"warning: scene needs {need} record slots > the "
+                      "64-slot cap; deep-path gradients will be dropped")
+            cfg = cfg.replace(record_slots=min(need, 64))
+            print(f"record preflight: record_slots -> "
+                  f"{cfg.resolved_record_slots()}")
         render = lambda s: jnp.clip(  # noqa: E731
-            diff.render_pallas_diff(s, assets, basis, cfg), 0.0, 1.0)
+            diff.render_pallas_diff(s, assets, basis, cfg, 0.0, interp),
+            0.0, 1.0)
         target = render(truth)
     else:
         render = lambda s: jnp.clip(  # noqa: E731
