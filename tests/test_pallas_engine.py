@@ -115,21 +115,23 @@ class TestGoldenSlabInterpret:
     megakernel->reference link in the CPU-only suite; the full 800x600
     image runs under @tpu_only above."""
 
-    def test_golden_rows_interpret(self):
+    @pytest.mark.parametrize("row0", [288,   # mid-image: ground + spheres
+                                      8])    # top: skybox + mirror wall
+    def test_golden_rows_interpret(self, row0):
         from tpuray.io import GOLDEN_PNG, read_png
         from tpuray.kernels.pallas_trace import render_pallas
         scene = load_scene(RENDER_MAP).to_scene()
         assets = load_default_assets()
         full = RenderConfig(chunk_size=0)     # 800x600 depth 15
-        ROW0, ROWS = 288, 16                  # mid-image: ground + spheres
+        ROWS = 16
         cfg = full.replace(height=ROWS)
         cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR,
                      GOLDEN_CAMERA_FOV, GOLDEN_CAMERA_FOCAL)
         basis = perspective_basis(cam, full.width, full.height)
         img = np.asarray(render_pallas(scene, assets, basis, cfg,
-                                       interpret=True, row0=float(ROW0)))
+                                       interpret=True, row0=float(row0)))
         q = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-        gold = read_png(GOLDEN_PNG)[ROW0:ROW0 + ROWS]
+        gold = read_png(GOLDEN_PNG)[row0:row0 + ROWS]
         d = np.abs(q.astype(np.int32) - gold.astype(np.int32))
         assert d.mean() < 1.0, f"mean|d|={d.mean()}"
         assert (d <= 8).mean() > 0.99, f"within-8 {(d <= 8).mean()}"
