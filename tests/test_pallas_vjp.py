@@ -135,6 +135,20 @@ class TestReplayBilinear:
 
 
 class TestReplayOverflowConsistency:
+    def test_record_overflow_is_reported(self):
+        """A starved record buffer must still report the TRUE node count
+        so callers can re-record with capacity (the invrender preflight,
+        apps/invrender.py)."""
+        scene, assets, cfg, basis = _setup(width=32, height=24, depth=3)
+        _, rec_full = render_pallas_record(scene, assets, basis, cfg,
+                                           interpret=True)
+        need = int(rec_full["max_nodes"])
+        assert need > 4
+        cfg4 = cfg.replace(record_slots=4)
+        _, rec4 = render_pallas_record(scene, assets, basis, cfg4,
+                                       interpret=True)
+        assert int(rec4["max_nodes"]) == need
+
     def test_replay_matches_degraded_kernel_image_under_overflow(self):
         """When the event buffer overflows, the kernel image silently
         drops the overflowed texel contributions — the replay must drop
