@@ -26,23 +26,37 @@ BASELINE_MRAYS = 100.0
 N_CHAIN = 5
 
 
-def _wait_for_axon_relay(tries: int = 30, delay: float = 10.0) -> bool:
+def _wait_for_axon_relay(max_wait: "float | None" = None,
+                         delay: float = 15.0) -> bool:
     """The first jax backend init hangs forever when the axon tunnel
-    relay is down; probe it (retrying — it may be restarting) and fail
-    FAST with a clear message instead of hanging the driver."""
+    relay is down; probe it until it answers.  The relay flaps for long
+    stretches (round 2's driver bench found it down for the whole 5-min
+    probe, voiding the round), so by default this KEEPS PROBING through
+    the driver window (TPURAY_BENCH_PROBE_SECONDS overrides; progress
+    goes to stderr so the JSON line on stdout stays clean)."""
     import socket
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return True
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
         return True
-    for i in range(tries):
+    if max_wait is None:
+        max_wait = float(os.environ.get(
+            "TPURAY_BENCH_PROBE_SECONDS", 4 * 3600))
+    t0 = time.time()
+    n = 0
+    while True:
         try:
             socket.create_connection(("127.0.0.1", 8103), timeout=5).close()
             return True
         except OSError:
-            if i + 1 < tries:
-                time.sleep(delay)
-    return False
+            n += 1
+            waited = time.time() - t0
+            if waited >= max_wait:
+                return False
+            if n % 20 == 1:
+                print(f"bench: axon relay down {waited:.0f}s, "
+                      f"probing up to {max_wait:.0f}s", file=sys.stderr)
+            time.sleep(delay)
 
 
 def main():

@@ -58,7 +58,11 @@ class TestUniformPacking:
         assets = load_default_assets()
         atlas = build_atlas(assets)
         tex = np.asarray(assets.textures)
-        packed = np.asarray(atlas.packed)
+        packed = np.asarray(atlas.flat())
+        # the precomputed row view (textures.pack_atlas_rows) must equal
+        # the traced fallback packing
+        fallback = build_atlas(assets._replace(atlas_rows=None))
+        np.testing.assert_array_equal(packed, np.asarray(fallback.flat()))
         # texel (tid, y, x) -> flat index; check a few samples
         rng = np.random.default_rng(3)
         for _ in range(16):

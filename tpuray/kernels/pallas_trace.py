@@ -166,7 +166,7 @@ def pack_uniforms(scene: Scene, basis: PerspectiveBasis,
 # ---------------------------------------------------------------------------
 
 class TexelAtlas(NamedTuple):
-    packed: jnp.ndarray   # [M] u32, 0x00RRGGBB
+    rows: jnp.ndarray     # [R, 64] u32 0x00RRGGBB (flat index i -> [i>>6, i&63])
     tex_h: int
     tex_w: int
     n_textures: int
@@ -174,20 +174,34 @@ class TexelAtlas(NamedTuple):
     sky_h: int
     sky_w: int
 
+    def flat(self) -> jnp.ndarray:
+        """Flat [R*64] u32 view (trailing pad texels are zero/garbage;
+        valid flat indices are < sky_base + sky_h*sky_w)."""
+        return self.rows.reshape(-1)
+
 
 def build_atlas(assets: SceneAssets) -> TexelAtlas:
+    """Texel atlas metadata + the 64-wide row table the event resolve
+    gathers from.  When ``assets.atlas_rows`` is precomputed (asset load
+    time, textures.pack_atlas_rows) this is free inside a jit trace; the
+    fallback packs in-graph (raw test assets)."""
     tex = assets.textures  # [N, H, W, 3] u8
     sky = assets.skybox    # [Hs, Ws, 3] u8
 
-    def pack(img):
-        u = img.astype(jnp.uint32)
-        return (u[..., 0] << 16) | (u[..., 1] << 8) | u[..., 2]
+    if assets.atlas_rows is not None:
+        rows = assets.atlas_rows
+    else:
+        def pack(img):
+            u = img.astype(jnp.uint32)
+            return (u[..., 0] << 16) | (u[..., 1] << 8) | u[..., 2]
 
-    t = pack(tex).reshape(-1)
-    s = pack(sky).reshape(-1)
-    return TexelAtlas(packed=jnp.concatenate([t, s]),
+        flat = jnp.concatenate([pack(tex).reshape(-1),
+                                pack(sky).reshape(-1)])
+        rows = jnp.pad(flat, (0, (-flat.shape[0]) % 64)).reshape(-1, 64)
+    return TexelAtlas(rows=rows,
                       tex_h=tex.shape[1], tex_w=tex.shape[2],
-                      n_textures=tex.shape[0], sky_base=t.shape[0],
+                      n_textures=tex.shape[0],
+                      sky_base=int(np.prod(tex.shape[:3])),
                       sky_h=sky.shape[0], sky_w=sky.shape[1])
 
 
@@ -1497,10 +1511,9 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
             c_blk[:, :, 2 * SUBLANES:3 * SUBLANES, :].reshape(
                 T, SUBLANES, LANES))
 
-    # 64-texel row view of the atlas for the fast row-gather path (the
-    # pad+reshape is one fused ~50 MB copy per render, ~0.1 ms)
-    ap = atlas.packed
-    arows = jnp.pad(ap, (0, (-ap.shape[0]) % 64)).reshape(-1, 64)
+    # 64-texel row view of the atlas for the fast row-gather path
+    # (precomputed at asset-load time; see textures.pack_atlas_rows)
+    arows = atlas.rows
     lane64 = jnp.arange(64, dtype=jnp.int32)
 
     def _texel_sum_direct(idx, w):

@@ -159,7 +159,7 @@ def replay_render(scene: Scene, assets: SceneAssets,
     if evi is not None:
         from .pallas_trace import build_atlas
         atlas = build_atlas(assets)
-        ap = atlas.packed
+        ap = atlas.flat()
 
         def atlas_rgb(idx):
             tx = jnp.take(ap, jnp.clip(idx, 0, None), axis=0)

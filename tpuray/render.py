@@ -37,12 +37,22 @@ def _pad_to(x, n, axis=0):
 
 
 def _use_pallas(scene: Scene, cfg: RenderConfig) -> bool:
-    from .kernels.pallas_trace import pallas_supported
+    from .kernels.pallas_trace import TRI_MAX_TRIANGLES, pallas_supported
     if cfg.engine == "pallas":
         return True
     if cfg.engine == "xla":
         return False
-    return pallas_supported(scene, cfg) and jax.default_backend() != "cpu"
+    supported = pallas_supported(scene, cfg)
+    if not supported:
+        # never downgrade silently: the XLA tracer is ~100x slower
+        import warnings
+        warnings.warn(
+            f"engine='auto' fell back to the XLA tracer: the scene's "
+            f"{scene.num_triangles} triangles exceed the megakernel's "
+            f"VMEM-resident table cap ({TRI_MAX_TRIANGLES}); expect a "
+            f"~100x slower render",
+            RuntimeWarning, stacklevel=3)
+    return supported and jax.default_backend() != "cpu"
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

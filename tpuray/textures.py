@@ -28,9 +28,33 @@ DEFAULT_SKYBOX = "bg/stormydays.png"
 
 
 class SceneAssets(NamedTuple):
-    """Device-resident image data for one render."""
+    """Device-resident image data for one render.
+
+    ``atlas_rows`` is the precomputed row view of the packed texel atlas
+    (textures ++ skybox as 0x00RRGGBB u32, padded to a multiple of 64 and
+    reshaped to [R, 64]) used by the megakernel's event resolve.  Packing
+    it once at load time keeps the ~50 MB u8->u32 convert + reshape out
+    of the per-render jit graph (it cost ~1.5 ms/render when traced).
+    ``None`` falls back to packing inside the trace (tests building raw
+    assets)."""
     textures: jnp.ndarray  # [N, H, W, 3] u8 plane-texture atlas
     skybox: jnp.ndarray    # [Hs, Ws, 3] u8 4x3-cross cubemap
+    atlas_rows: "jnp.ndarray | None" = None  # [R, 64] u32 packed texels
+
+
+def pack_atlas_rows(textures, skybox) -> jnp.ndarray:
+    """Host-side (numpy) texel-atlas packing: 0x00RRGGBB u32 rows [R, 64].
+
+    The flat layout is textures (layer-major) then skybox, matching the
+    megakernel's event indices (kernels/pallas_trace.py build_atlas)."""
+    def pack(img):
+        u = np.asarray(img, np.uint32)
+        return (u[..., 0] << 16) | (u[..., 1] << 8) | u[..., 2]
+
+    flat = np.concatenate([pack(textures).reshape(-1),
+                           pack(skybox).reshape(-1)])
+    pad = (-flat.shape[0]) % 64
+    return jnp.asarray(np.pad(flat, (0, pad)).reshape(-1, 64))
 
 
 def _read_png_rgb(path: str) -> np.ndarray:
@@ -68,7 +92,8 @@ def load_default_assets(asset_dir: str = REFERENCE_ASSETS,
     ``bg/lake.png``, the unused alternative; both load here)."""
     tex = load_textures([os.path.join(asset_dir, t) for t in DEFAULT_TEXTURES])
     sky = load_skybox(os.path.join(asset_dir, skybox))
-    return SceneAssets(textures=tex, skybox=sky)
+    return SceneAssets(textures=tex, skybox=sky,
+                       atlas_rows=pack_atlas_rows(tex, sky))
 
 
 def solid_assets(n_textures: int = 1, tex_size: int = 8,
@@ -78,4 +103,5 @@ def solid_assets(n_textures: int = 1, tex_size: int = 8,
     tex = np.broadcast_to(col, (n_textures, tex_size, tex_size, 3))
     sky = np.broadcast_to(col, (sky_face * 3, sky_face * 4, 3))
     return SceneAssets(textures=jnp.asarray(np.ascontiguousarray(tex)),
-                       skybox=jnp.asarray(np.ascontiguousarray(sky)))
+                       skybox=jnp.asarray(np.ascontiguousarray(sky)),
+                       atlas_rows=pack_atlas_rows(tex, sky))
