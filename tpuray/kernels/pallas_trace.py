@@ -74,6 +74,18 @@ EV_NONE = np.int32(-1)
 # monkeypatch it to exercise the chunked path at test sizes.
 CHUNK_EV = 9_000_000
 
+# XLA:TPU lowers the fused one-hot row-gather (jnp.take of [R, 64] atlas
+# rows + in-register lane select, see _resolve_events) to a DMA fast path
+# only when the gather is LARGE: measured ~2.2-2.9 ns/element above
+# ~3.1M elements and ~11-12 ns/element below it (scripts/bench_gather.py
+# and the round-3 cliff study; the threshold sits between 2.6M and 3.1M
+# elements and is insensitive to index order, index-array shape, and
+# table size).  Gathers bigger than GATHER_PAD_MIN are therefore PADDED
+# up to GATHER_FAST_ELEMS with EV_NONE events (weight 0, row-0 fetches):
+# N*11.4ns > GATHER_FAST_ELEMS*2.2ns crosses over at ~0.6M elements.
+GATHER_FAST_ELEMS = 3_145_728
+GATHER_PAD_MIN = 600_000
+
 
 # ---------------------------------------------------------------------------
 # uniform packing: scene + camera basis -> one flat f32 array (SMEM)
@@ -1472,35 +1484,33 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
     # --- resolve deferred texel events -------------------------------------
     # The event buffer has K worst-case slots but real traces populate only
     # the first few: measured on render.map the mean is ~1.5 events/pixel
-    # at every config while the max is 6 (1080p d4) to 24 (d15), and only
-    # ~10% of tiles ever use slot 2+.  Two levers, both applied here:
+    # at every config while the max is 6 (1080p d4) to 24 (d15); slot 0 is
+    # used by ~every tile, slot 1 by ~half, slots 2+ by ~10%.  Three levers:
     #
-    # 1. CHEAPER ISSUES.  XLA:TPU's per-ELEMENT gather costs ~7 ns/element
-    #    regardless of table size or index order (measured, scripts/
-    #    bench_gather.py), but a gather of 64-wide ROWS hits a DMA-fast
-    #    path at ~2.4 ns/row — 64 texels for a third the cost of one.  So
-    #    texel_sum fetches the 64-texel row containing each event's texel
-    #    and selects the lane with an in-register one-hot (VPU): measured
-    #    3.0 ns/event vs 7.2, a 2.4x resolve speedup end to end.
+    # 1. CHEAPER ISSUES.  texel fetches go through the fused one-hot
+    #    row-gather (jnp.take of 64-texel atlas rows + in-register lane
+    #    select) — XLA:TPU lowers it to a DMA fast path at ~2.2-2.9
+    #    ns/event (vs ~7 ns for a plain element gather), PROVIDED the
+    #    gather is >= GATHER_FAST_ELEMS elements (see the constant above).
     #
-    # 2. FEWER ELEMENTS.  Three-tier slot schedule:
-    #   * slots 0..1 (the 1-sky/1-texture common case): one dense gather
-    #     over all pixels, sized by a lax.switch on the image max;
-    #   * slots 2+ (deep reflect/refract chains): TILE-COMPACTED — top_k
-    #     picks the <=C highest-event-count tiles (C = ~T/8, static), only
-    #     their tail slots are gathered, and the result is scatter-added
-    #     back into the tile color planes;
-    #   * if more than C tiles need tail slots (adversarial scenes), a
-    #     dense-fallback branch reproduces the old full gather.
+    # 2. FEWER ELEMENTS.  (tile, slot)-pair compaction: slots are filled
+    #    per-lane in order, so tile t populates exactly slots
+    #    [0, tile_used[t]).  Slot 0 is gathered densely (every tile needs
+    #    it) and slots >= 1 are compacted to the active pairs via one
+    #    top_k over the [K-1, T] pair-activity mask, sized by a static
+    #    capacity ladder (lax.switch on the real pair count).  This issues
+    #    the measured-optimal element count: sum_t tile_used[t] * 2048
+    #    (3.58M at 1080p d4 vs 5.22M for the old dense slots-0..1 +
+    #    compacted-tail schedule).
+    #
+    # 3. ONE CALL.  Slot-0 planes, compacted pairs, and fast-path padding
+    #    are concatenated into a SINGLE gather so the call stays above the
+    #    fast-path cliff; pair results scatter-add into the tile planes.
     # The kernel reports each tile's max used slot count in over rows
     # [S, 2S); tiny reduces over it drive the switch.
     T = gy * gx
     tile_used = over[:, :, SUBLANES, 0].reshape(T)
     u_max = jnp.clip(jnp.max(tile_used), 0, K)
-    # compact-set capacity (static): C2 covers the deep-chain tiles that
-    # use event slots >= 2 (~10% of tiles on render.map)
-    C2 = min(T, max(1, T // 8))
-    n2 = jnp.sum((tile_used > 2).astype(jnp.int32))
 
     evi = ev_idx.reshape(T, K, SUBLANES, LANES)
     evw = ev_w.reshape(T, K, SUBLANES, LANES)
@@ -1516,29 +1526,29 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
     arows = atlas.rows
     lane64 = jnp.arange(64, dtype=jnp.int32)
 
-    def _texel_sum_direct(idx, w):
+    def _texel_rgb_direct(idx, w):
+        """Elementwise weighted texel rgb (same shape as ``idx``).
+
+        Row-gather: fetch the 64-wide atlas row holding each texel and
+        one-hot-select the lane in registers.  Bit-identical to an
+        element gather (tested vs the XLA tracer and the golden image).
+        """
         ic = jnp.clip(idx, 0, None)
         rows = jnp.take(arows, ic >> 6, axis=0)          # [..., 64]
         texel = jnp.where(lane64 == (ic & 63)[..., None], rows, 0) \
             .sum(axis=-1)
         scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
-        return ((scale * ((texel >> 16) & 0xFF).astype(F32)).sum(axis=1),
-                (scale * ((texel >> 8) & 0xFF).astype(F32)).sum(axis=1),
-                (scale * (texel & 0xFF).astype(F32)).sum(axis=1))
+        return (scale * ((texel >> 16) & 0xFF).astype(F32),
+                scale * ((texel >> 8) & 0xFF).astype(F32),
+                scale * (texel & 0xFF).astype(F32))
 
-    def texel_sum(idx, w):
-        """Weighted texel rgb summed over the slot axis (axis 1).
-
-        Row-gather: fetch the 64-wide atlas row holding each texel
-        (~2.4 ns/row vs ~7 ns/element, scripts/bench_gather.py) and
-        one-hot-select the lane in registers.  Bit-identical to an
-        element gather (tested vs the XLA tracer and the golden image).
-        """
+    def texel_rgb(idx, w):
+        """_texel_rgb_direct, chunked along axis 0 above CHUNK_EV."""
         n = idx.shape[0]
         per_row = int(np.prod(idx.shape[1:]))
         chunk = max(1, CHUNK_EV // max(per_row, 1))
         if n <= chunk:
-            return _texel_sum_direct(idx, w)
+            return _texel_rgb_direct(idx, w)
         nc = -(-n // chunk)
         pad = nc * chunk - n
 
@@ -1547,7 +1557,7 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
                            constant_values=-1).reshape(
                                (nc, chunk) + x.shape[1:])
 
-        r, g, b = jax.lax.map(lambda ab: _texel_sum_direct(*ab),
+        r, g, b = jax.lax.map(lambda ab: _texel_rgb_direct(*ab),
                               (pad_r(idx), pad_r(w)))
         return (r.reshape((nc * chunk,) + r.shape[2:])[:n],
                 g.reshape((nc * chunk,) + g.shape[2:])[:n],
@@ -1556,74 +1566,76 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
     def add3(c, r, g, b):
         return c[0] + r, c[1] + g, c[2] + b
 
-    def compact_add(c, tidx, lo, w):
-        """Gather slots [lo, lo+w) of the tiles in ``tidx`` and scatter-add
-        their texel contributions.  Tiles picked only to fill top_k
-        capacity contribute zero (their slots there are EV_NONE)."""
-        ti = evi[:, lo:lo + w][tidx]
-        tw = evw[:, lo:lo + w][tidx]
-        r, g, b = texel_sum(ti, tw)
-        return (c[0].at[tidx].add(r), c[1].at[tidx].add(g),
-                c[2].at[tidx].add(b))
+    # ---- pair compaction over slots >= 1 ----------------------------------
+    Kp = K - 1
+    evi_flat = evi.reshape(T * K, SUBLANES, LANES)
+    evw_flat = evw.reshape(T * K, SUBLANES, LANES)
+    slot0_pf = jnp.arange(T, dtype=jnp.int32) * K
 
-    # Tier structure (widths are static; the row path is fastest at width
-    # >= 2 — a lone width-1 call hits a slow XLA layout, measured ~12 vs
-    # ~3 ns/element — so the dense tier covers slots 0..1 in ONE call;
-    # over-gathering the ~50% EV_NONE slot-1 lanes costs less than a
-    # separate compacted slot-1 pass did on the element path):
-    #   * u_max == 0: nothing;
-    #   * u_max >= 1: dense slots [0, 2) over every tile;
-    #   * u_max >= 3: tile-compacted tail (slots 2+) over the top-C2
-    #     tiles by used-slot count, dense fallback when > C2 tiles need it.
-    D_DENSE = min(2, K)
+    if Kp > 0:
+        n_pairs = jnp.sum(jnp.maximum(tile_used - 1, 0))
+        # s-major activity mask: act[s-1, t] = tile t populates slot s.
+        # s-major order makes the compacted plane gather ascend in s then
+        # t (deterministic; coherent plane slices).
+        act = (tile_used[None, :]
+               > jnp.arange(1, K, dtype=tile_used.dtype)[:, None])
+        # capacity ladder: ~T/4 doubling up to the exact worst case
+        caps = []
+        c = max(1, T // 4)
+        while c < Kp * T:
+            caps.append(c)
+            c *= 2
+        caps.append(Kp * T)
+        _, pair_idx = jax.lax.top_k(act.reshape(Kp * T).astype(jnp.int32),
+                                    caps[-1])
+    else:
+        n_pairs = jnp.int32(0)
+        caps = []
 
-    def dense_only(u):
+    def combined(P):
+        """Branch: ONE gather of [slot-0 planes | P compacted pairs | pad],
+        elementwise add for slot 0, scatter-add for the pairs.  Inactive
+        filler pairs hold EV_NONE lanes and contribute zero."""
+        n_planes = T + P
+        n_el = n_planes * TILE
+        pad = 0
+        if GATHER_PAD_MIN < n_el < GATHER_FAST_ELEMS:
+            pad = -(-(GATHER_FAST_ELEMS - n_el) // TILE)
+
         def branch(_):
-            if u == 0:
-                return base
-            return add3(base, *texel_sum(evi[:, :D_DENSE],
-                                         evw[:, :D_DENSE]))
+            if P:
+                pidx = pair_idx[:P]
+                t_of = pidx % T
+                s_of = pidx // T + 1
+                pf = jnp.concatenate([slot0_pf, t_of * K + s_of])
+            else:
+                pf = slot0_pf
+            if pad:
+                pf = jnp.concatenate(
+                    [pf, jnp.zeros((pad,), jnp.int32)])
+            ii = evi_flat[pf]
+            ww = evw_flat[pf]
+            if pad:  # padding planes: force EV_NONE (weight-0 row-0 fetch)
+                inrange = (jnp.arange(pf.shape[0], dtype=jnp.int32)
+                           < n_planes)[:, None, None]
+                ii = jnp.where(inrange, ii, EV_NONE)
+            r, g, b = texel_rgb(ii, ww)
+            c = add3(base, r[:T], g[:T], b[:T])
+            if P:
+                c = (c[0].at[t_of].add(r[T:T + P]),
+                     c[1].at[t_of].add(g[T:T + P]),
+                     c[2].at[t_of].add(b[T:T + P]))
+            return c
         return branch
 
-    # tail widths (slots 2..2+w), coarse so the branch count stays small;
-    # the last width must reach K-2 so every u_max <= K has a bucket
-    widths = []
-    for w in (2, 4, 6, 14, 22, K - 2):
-        w2 = min(w, K - 2)
-        if w2 > 0 and w2 not in widths:
-            widths.append(w2)
-        if w2 == K - 2:
-            break
-
-    def resolve_ge3(_):
-        """u_max >= 3: dense slots 0..1 + compacted tail."""
-        c = add3(base, *texel_sum(evi[:, :D_DENSE], evw[:, :D_DENSE]))
-        _, tidx = jax.lax.top_k(tile_used, C2)
-
-        def tail_branch(w, compact):
-            if compact:
-                return lambda c: compact_add(c, tidx, 2, w)
-            return lambda c: add3(
-                c, *texel_sum(evi[:, 2:2 + w], evw[:, 2:2 + w]))
-
-        tail_bucket = np.zeros(K + 1, np.int32)
-        for u in range(3, K + 1):
-            tail_bucket[u] = 1 + next(i for i, w in enumerate(widths)
-                                      if 2 + w >= u)
-        tb = jnp.take(jnp.asarray(tail_bucket), u_max)
-        tsel = tb + jnp.where(n2 > C2, len(widths), 0)
-        return jax.lax.switch(
-            tsel,
-            [lambda c: c]
-            + [tail_branch(w, True) for w in widths]
-            + [tail_branch(w, False) for w in widths], c)
-
-    if K >= 3:
-        branches = [dense_only(0), dense_only(1), resolve_ge3]
-        sel = jnp.where(u_max == 0, 0, jnp.where(u_max <= 2, 1, 2))
+    branches = [lambda _: base, combined(0)] + [combined(P) for P in caps]
+    if Kp > 0:
+        cap_arr = jnp.asarray(caps, jnp.int32)
+        bidx = jnp.sum((n_pairs > cap_arr).astype(jnp.int32))
+        sel = jnp.where(u_max == 0, 0,
+                        jnp.where(n_pairs == 0, 1, 2 + bidx))
     else:
-        branches = [dense_only(u) for u in range(K + 1)]
-        sel = u_max
+        sel = jnp.where(u_max == 0, 0, 1)
     cx, cy, cz = jax.lax.switch(sel, branches, 0)
 
     # [T, S, L] -> [gy, gx, S, L] -> [gy*S, gx*L] -> crop -> [H, W, 3]
