@@ -1538,9 +1538,13 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
         texel = jnp.where(lane64 == (ic & 63)[..., None], rows, 0) \
             .sum(axis=-1)
         scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
-        return (scale * ((texel >> 16) & 0xFF).astype(F32),
-                scale * ((texel >> 8) & 0xFF).astype(F32),
-                scale * (texel & 0xFF).astype(F32))
+        # NOTE: keep the consumers of ``texel`` plain same-shape
+        # elementwise ops — broadcasting a stacked [3, ...] channel axis
+        # here knocks the gather off the DMA fast path (measured: 95.5 ->
+        # 37.8 Mrays/s at 1080p d4, i.e. back to ~11 ns/element).
+        return ((scale * ((texel >> 16) & 0xFF).astype(F32)),
+                (scale * ((texel >> 8) & 0xFF).astype(F32)),
+                (scale * (texel & 0xFF).astype(F32)))
 
     def texel_rgb(idx, w):
         """_texel_rgb_direct, chunked along axis 0 above CHUNK_EV."""
@@ -1579,13 +1583,33 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
         # t (deterministic; coherent plane slices).
         act = (tile_used[None, :]
                > jnp.arange(1, K, dtype=tile_used.dtype)[:, None])
-        # capacity ladder: ~T/4 doubling up to the exact worst case
-        caps = []
-        c = max(1, T // 4)
+
+        def _eff_planes(P):
+            """True gathered plane count of a capacity-P branch (incl.
+            fast-path padding) — what the branch actually costs."""
+            n_el = (T + P) * TILE
+            if GATHER_PAD_MIN < n_el < GATHER_FAST_ELEMS:
+                return GATHER_FAST_ELEMS // TILE
+            return T + P
+
+        # capacity ladder: fine T/8 steps up to 2T (the operating range —
+        # mean events/pixel is ~1.5 so n_pairs ~ 0.5T typically), then
+        # doubling to the exact worst case.  Rungs whose padded gather is
+        # the same size as a larger rung's are dominated — keep only the
+        # largest of each equal-cost class (below the fast-path cliff all
+        # rungs pad to GATHER_FAST_ELEMS, so they collapse into one).
+        cand, c = [], max(1, T // 8)
+        while c < min(2 * T, Kp * T):
+            cand.append(c)
+            c += max(1, T // 8)
+        c = max(2 * T, 1)
         while c < Kp * T:
-            caps.append(c)
+            cand.append(c)
             c *= 2
-        caps.append(Kp * T)
+        cand.append(Kp * T)
+        caps = [p for i, p in enumerate(cand)
+                if i + 1 == len(cand)
+                or _eff_planes(p) < _eff_planes(cand[i + 1])]
         _, pair_idx = jax.lax.top_k(act.reshape(Kp * T).astype(jnp.int32),
                                     caps[-1])
     else:
