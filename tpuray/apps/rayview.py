@@ -8,11 +8,16 @@ rayinteractive.c:32-104).  The capability that matters (SURVEY.md §3.2) is
 **param-swap re-render without recompile**: the jitted renderer is compiled
 once and re-invoked with new camera values each frame.
 
-Two modes:
+Three modes:
 * ``--keys`` — feed a key script (e.g. "wwassdd<space>^") and write one PNG
   per frame; the exact key->state mapping of rayinteractive.c.
-* interactive stdin — type keys + enter; 'q' quits.  (A terminal loop, not
-  a window: GUI toolkits are out of scope, re-render latency is the point.)
+* ``--serve PORT`` — the live display surface: an in-browser viewer
+  streaming MJPEG frames over HTTP (works through an SSH tunnel to a
+  remote TPU, where the reference's local minifb window
+  (rayinteractive.c:118-122, 183-197) cannot), with browser keyboard
+  events driving the same CameraController.  The render loop re-renders
+  only when camera state changes — the vsync-paced mfb_wait_sync analog.
+* interactive stdin — type keys + enter; 'q' quits.
 """
 from __future__ import annotations
 
@@ -82,6 +87,147 @@ class CameraController:
         return Camera(tuple(self.origin), tuple(self.lookdir), 90.0, 1.0)
 
 
+_VIEWER_HTML = """<!doctype html>
+<html><head><title>tpuray rayview</title><style>
+  body { margin:0; background:#111; color:#ccc;
+         font:13px system-ui, sans-serif; }
+  #hud { padding:6px 10px; } img { display:block; margin:0 auto; }
+</style></head><body>
+<div id="hud">tpuray — WASD move &middot; arrows rotate &middot;
+space/shift up/down &middot; <span id="stat"></span></div>
+<img id="view" src="/stream">
+<script>
+const MAP = {"w":"w","a":"a","s":"s","d":"d"," ":" ",
+             "ArrowUp":"8","ArrowDown":"2","ArrowLeft":"4",
+             "ArrowRight":"6","Shift":"_"};
+document.addEventListener("keydown", (e) => {
+  const k = MAP[e.key];
+  if (k === undefined) return;
+  e.preventDefault();
+  fetch("/key?k=" + encodeURIComponent(k)).then(r => r.text())
+    .then(t => { document.getElementById("stat").textContent = t; });
+});
+</script></body></html>
+"""
+
+
+def serve(ctl, frame_u8, width, height, port, host="0.0.0.0",
+          quality=85, started=None):
+    """MJPEG live viewer (the reference's display surface, re-homed to a
+    browser so it works across the tunnel to a remote TPU).
+
+    ``frame_u8()`` -> HWC u8 frame for the CURRENT ctl state; it is called
+    from a single render thread (JAX dispatch stays single-threaded), only
+    when a key changed the camera (mfb_wait_sync analog: idle costs no
+    device time).  HTTP handlers only ever read the latest encoded JPEG.
+    """
+    import io as _io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    state = {"jpeg": b"", "seq": 0, "ms": 0.0}
+    cond = threading.Condition()
+    dirty = threading.Event()
+    dirty.set()     # render the first frame immediately
+    stop = threading.Event()
+
+    def encode(img):
+        buf = _io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "JPEG", quality=quality)
+        return buf.getvalue()
+
+    def render_loop():
+        while not stop.is_set():
+            if not dirty.wait(timeout=0.25):
+                continue
+            dirty.clear()
+            t0 = time.perf_counter()
+            img = frame_u8()
+            jpeg = encode(img)
+            with cond:
+                state["jpeg"] = jpeg
+                state["seq"] += 1
+                state["ms"] = (time.perf_counter() - t0) * 1e3
+                cond.notify_all()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                body = _VIEWER_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/key"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                for k in q.get("k", [""])[0]:
+                    ctl.key(k)
+                dirty.set()
+                msg = (f"{state['ms']:.0f} ms/frame  origin="
+                       f"{np.round(ctl.origin, 2)}").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+            elif self.path.startswith("/stream"):
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                seen = -1
+                try:
+                    while not stop.is_set():
+                        with cond:
+                            if state["seq"] == seen:
+                                cond.wait(timeout=1.0)
+                            if state["seq"] == seen:
+                                continue
+                            jpeg, seen = state["jpeg"], state["seq"]
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/jpeg\r\n"
+                            + f"Content-Length: {len(jpeg)}\r\n\r\n"
+                            .encode() + jpeg + b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            elif self.path.startswith("/frame.jpg"):
+                with cond:
+                    if state["seq"] == 0:
+                        cond.wait(timeout=30.0)
+                    jpeg = state["jpeg"]
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Length", str(len(jpeg)))
+                self.end_headers()
+                self.wfile.write(jpeg)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    rt = threading.Thread(target=render_loop, daemon=True)
+    rt.start()
+    if started is not None:
+        started(httpd, stop)
+    print(f"serving on http://{host}:{httpd.server_address[1]}/ "
+          "(open in a browser; WASD/arrows drive the camera)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stop.set()
+        httpd.server_close()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="/root/reference/scenes/render.map")
@@ -92,6 +238,10 @@ def main(argv=None):
                     help="scripted keypresses, one frame per key "
                          "(wasd, space, _=down, 8/2/4/6=arrows)")
     ap.add_argument("--frames-dir", default="out/frames")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live in-browser MJPEG viewer on PORT "
+                         "(the display-surface mode; 0 = ephemeral port)")
+    ap.add_argument("--jpeg-quality", type=int, default=85)
     args = ap.parse_args(argv)
 
     scene = load_scene(args.scene).to_scene()
@@ -110,6 +260,11 @@ def main(argv=None):
 
     img, dt = frame()   # compile pass
     print(f"compiled; first frame {dt:.1f}s")
+
+    if args.serve is not None:
+        serve(ctl, lambda: frame()[0], cfg.width, cfg.height, args.serve,
+              quality=args.jpeg_quality)
+        return
 
     if args.keys is not None:
         os.makedirs(args.frames_dir, exist_ok=True)

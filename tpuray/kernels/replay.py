@@ -159,15 +159,15 @@ def replay_render(scene: Scene, assets: SceneAssets,
     if evi is not None:
         from .pallas_trace import build_atlas
         atlas = build_atlas(assets)
-        ap = atlas.flat()
-
-        def atlas_rgb(idx):
-            tx = jnp.take(ap, jnp.clip(idx, 0, None), axis=0)
-            return jnp.stack(
-                [((tx >> 16) & 0xFF).astype(F32),
-                 ((tx >> 8) & 0xFF).astype(F32),
-                 (tx & 0xFF).astype(F32)], axis=-1) / F32(255.0)
     ecnt = jnp.zeros((n_pix,), jnp.int32)
+    # deferred texel terms: (idx [n_pix] i32 atlas index or -1,
+    # w [n_pix] f32 differentiable weight) per fetch, resolved after the
+    # slot loop in ONE batched atlas row-gather (see _batched_texel_sum).
+    # Per-slot 196k-element gathers run at the slow ~7 ns/element rate;
+    # the batched [n_fetch, n_pix] gather crosses the DMA fast-path
+    # cliff (GATHER_FAST_ELEMS) at ~2.4 ns/row — measured 63.5 -> ~10 ms
+    # replay forward at 512x384 d3.
+    tex_events: list = []
 
     # plane tangent bases (ray-independent, as in the kernel)
     pb0, pb1 = pr.plane_texture_basis(scene.plane_normal)  # [npl, 3] each
@@ -297,73 +297,94 @@ def replay_render(scene: Scene, assets: SceneAssets,
             esel = (jnp.arange(Kev)[:, None] == ec[None, :])
             return jnp.sum(jnp.where(esel, evi, 0), axis=0)
 
-        if not bilin:
-            uu, vv = pr.map_to_cube(d, sky_w // 4)
-            syy = jnp.clip(np.int32(sky_h) - vv, 0, sky_h - 1)
-            sxx = jnp.clip(uu, 0, sky_w - 1)
-            sky_rgb = sky[syy, sxx]                 # [n_pix, 3], constant
-            xi, yi = pr.texture_texel_coords(b0, b1, hit,
-                                             m["texture_scale"],
-                                             tex_h, tex_w)
-            texel = tex[tid, yi, xi]                # [n_pix, 3], constant
-            if evi is not None:
-                idx_rec = rec_at(0)
-                use_rec = emit & (ecnt < Kev) & (idx_rec >= 0)
-                rec_rgb = atlas_rgb(idx_rec)
-                sky_rgb = jnp.where((use_rec & is_miss)[:, None], rec_rgb,
-                                    sky_rgb)
-                texel = jnp.where((use_rec & textured)[:, None], rec_rgb,
-                                  texel)
-        else:
-            # recomputed continuous coords (trace.py's bilinear paths)
-            ufs, vfs = pr.map_to_cube_float(d, sky_w // 4)
-            yfs = jnp.clip(F32(sky_h) - vfs, 0.0, F32(sky_h - 1))
-            xfs = jnp.clip(ufs, 0.0, F32(sky_w - 1))
-            sky_taps = pr.bilinear_taps(xfs, yfs, sky_w, sky_h, wrap=False)
-            uif = pr.dot3(b0, hit) * m["texture_scale"]
-            vif = pr.dot3(b1, hit) * m["texture_scale"]
-            uif = jnp.where(jnp.isfinite(uif), uif, 0.0)
-            vif = jnp.where(jnp.isfinite(vif), vif, 0.0)
-            tex_taps = pr.bilinear_taps(uif, vif, tex_w, tex_h, wrap=True)
-            if evi is not None:
-                use_rec = emit & (ecnt + (n_ev - 1) < Kev)
-            sky_rgb = jnp.zeros((n_pix, 3), F32)
-            texel = jnp.zeros((n_pix, 3), F32)
-            for t in range(4):
-                sxt, syt, swt = sky_taps[t]
-                txt, tyt, twt = tex_taps[t]
-                s_rgb_t = sky[syt, sxt]      # already f32 [0,1]
-                x_rgb_t = tex[tid, tyt, txt]
-                if evi is not None:
-                    r_t = rec_at(t)
-                    ok_t = use_rec & (r_t >= 0)
-                    r_rgb_t = atlas_rgb(r_t)
-                    s_rgb_t = jnp.where((ok_t & is_miss)[:, None],
-                                        r_rgb_t, s_rgb_t)
-                    x_rgb_t = jnp.where((ok_t & textured)[:, None],
-                                        r_rgb_t, x_rgb_t)
-                sky_rgb = sky_rgb + swt[:, None] * s_rgb_t
-                texel = texel + twt[:, None] * x_rgb_t
-
         if evi is not None:
+            # Recorded-texel path: the texel COLOR always comes from the
+            # recorded event index (constant w.r.t. scene params; only
+            # the weight carries gradient), so no sky/texture fetch is
+            # recomputed here at all — per-slot 196k-element gathers are
+            # what made the replay 15x slower than the kernel.  Events
+            # the kernel could NOT store (overflow past Kev) were
+            # dropped from the primal image; their radiance is dropped
+            # here too so the VJP differentiates the image the loss
+            # actually saw, not a lossless reconstruction of it.
+            if not bilin:
+                use_rec = emit & (ecnt < Kev)
+                idx0 = rec_at(0)
+                # sky term: f (raytracing.cl:61-81); textured ambient:
+                # the kernel defers the whole f*ambient*texel product
+                # (raytracing.cl:83-84), weight = f*ambient
+                w0 = jnp.where(is_miss, f, f * m["ambient"])
+                w0 = jnp.where(use_rec & emit, w0, 0.0)
+                tex_events.append((jnp.where(use_rec, idx0, -1), w0))
+            else:
+                # bilinear: colors from the 4 recorded taps, fractional
+                # weights RECOMPUTED differentiably — this is where the
+                # spatial texture/sky gradient flows (trace.py's
+                # bilinear paths)
+                use_rec = emit & (ecnt + (n_ev - 1) < Kev)
+                ufs, vfs = pr.map_to_cube_float(d, sky_w // 4)
+                yfs = jnp.clip(F32(sky_h) - vfs, 0.0, F32(sky_h - 1))
+                xfs = jnp.clip(ufs, 0.0, F32(sky_w - 1))
+                sky_taps = pr.bilinear_taps(xfs, yfs, sky_w, sky_h,
+                                            wrap=False)
+                uif = pr.dot3(b0, hit) * m["texture_scale"]
+                vif = pr.dot3(b1, hit) * m["texture_scale"]
+                uif = jnp.where(jnp.isfinite(uif), uif, 0.0)
+                vif = jnp.where(jnp.isfinite(vif), vif, 0.0)
+                tex_taps = pr.bilinear_taps(uif, vif, tex_w, tex_h,
+                                            wrap=True)
+                for t in range(4):
+                    _, _, swt = sky_taps[t]
+                    _, _, twt = tex_taps[t]
+                    r_t = rec_at(t)
+                    w_t = jnp.where(is_miss, f * swt,
+                                    f * m["ambient"] * twt)
+                    w_t = jnp.where(use_rec & emit, w_t, 0.0)
+                    tex_events.append((jnp.where(use_rec, r_t, -1), w_t))
             ecnt = ecnt + n_ev * emit.astype(jnp.int32)
-            # events the kernel could NOT store (overflow past Kev) were
-            # dropped from the primal image; drop their radiance here too
-            # so the VJP differentiates the image the loss actually saw,
-            # not a lossless reconstruction of it
-            sky_on = is_miss & use_rec
-            amb_tex_on = ~textured | use_rec
+            amb_tex_on = ~textured    # textured ambient rides tex_events
+            sky_rgb = None
         else:
-            sky_on = is_miss
+            # no recorded events: recompute the discrete texel picks
+            # (index gradients are zero either way)
+            if not bilin:
+                uu, vv = pr.map_to_cube(d, sky_w // 4)
+                syy = jnp.clip(np.int32(sky_h) - vv, 0, sky_h - 1)
+                sxx = jnp.clip(uu, 0, sky_w - 1)
+                sky_rgb = sky[syy, sxx]             # [n_pix, 3], constant
+                xi, yi = pr.texture_texel_coords(b0, b1, hit,
+                                                 m["texture_scale"],
+                                                 tex_h, tex_w)
+                texel = tex[tid, yi, xi]            # [n_pix, 3], constant
+            else:
+                ufs, vfs = pr.map_to_cube_float(d, sky_w // 4)
+                yfs = jnp.clip(F32(sky_h) - vfs, 0.0, F32(sky_h - 1))
+                xfs = jnp.clip(ufs, 0.0, F32(sky_w - 1))
+                sky_taps = pr.bilinear_taps(xfs, yfs, sky_w, sky_h,
+                                            wrap=False)
+                uif = pr.dot3(b0, hit) * m["texture_scale"]
+                vif = pr.dot3(b1, hit) * m["texture_scale"]
+                uif = jnp.where(jnp.isfinite(uif), uif, 0.0)
+                vif = jnp.where(jnp.isfinite(vif), vif, 0.0)
+                tex_taps = pr.bilinear_taps(uif, vif, tex_w, tex_h,
+                                            wrap=True)
+                sky_rgb = jnp.zeros((n_pix, 3), F32)
+                texel = jnp.zeros((n_pix, 3), F32)
+                for t in range(4):
+                    sxt, syt, swt = sky_taps[t]
+                    txt, tyt, twt = tex_taps[t]
+                    sky_rgb = sky_rgb + swt[:, None] * sky[syt, sxt]
+                    texel = texel + twt[:, None] * tex[tid, tyt, txt]
             amb_tex_on = jnp.ones_like(is_miss)
 
-        img = img + jnp.where(sky_on, f, 0.0)[:, None] * sky_rgb
+        if sky_rgb is not None:
+            img = img + jnp.where(is_miss, f, 0.0)[:, None] * sky_rgb
 
         # ambient (raytracing.cl:83-84); the texel color is constant,
-        # f/ambient stay differentiable.  For textured hits the kernel
-        # defers the whole f*ambient*texel product as the event's weight,
-        # so a dropped event zeroes the entire term.
-        amb_rgb = jnp.where(textured[:, None], texel, m_rgb)
+        # f/ambient stay differentiable.  Textured hits are handled via
+        # tex_events when records exist (see above).
+        amb_rgb = jnp.where(textured[:, None], texel, m_rgb) \
+            if sky_rgb is not None else m_rgb
         img = img + jnp.where(is_solid & amb_tex_on,
                               f * m["ambient"], 0.0)[:, None] * amb_rgb
 
@@ -410,4 +431,42 @@ def replay_render(scene: Scene, assets: SceneAssets,
             ph, refl_d, f_refl[:, None], n1[:, None],
             co, refr_d, f_refr[:, None], n2[:, None]], axis=1))
 
+    if tex_events:
+        img = img + _batched_texel_sum(
+            atlas, jnp.stack([e[0] for e in tex_events]),
+            jnp.stack([e[1] for e in tex_events]))
+
     return img.reshape(height, width, 3)
+
+
+def _batched_texel_sum(atlas, idx, w):
+    """One fused atlas row-gather for ALL deferred texel terms.
+
+    ``idx`` [F, n_pix] i32 atlas indices (-1 = none), ``w`` [F, n_pix]
+    f32 differentiable weights.  Returns sum_f w * texel_rgb -> [n_pix,
+    3].  Same fast-path discipline as pallas_trace._resolve_events:
+    64-texel row gather + in-register one-hot lane select, padded up to
+    the DMA fast-path cliff, consumers kept plain same-shape elementwise
+    (a stacked channel axis knocks the gather off the fast path).
+    """
+    from .pallas_trace import GATHER_FAST_ELEMS, GATHER_PAD_MIN
+    nf, n_pix = idx.shape
+    flat_i = idx.reshape(-1)
+    flat_w = w.reshape(-1)
+    n = nf * n_pix
+    if GATHER_PAD_MIN < n < GATHER_FAST_ELEMS:
+        pad = GATHER_FAST_ELEMS - n
+        flat_i = jnp.concatenate(
+            [flat_i, jnp.full((pad,), -1, flat_i.dtype)])
+        flat_w = jnp.concatenate([flat_w, jnp.zeros((pad,), F32)])
+    lane64 = jnp.arange(64, dtype=jnp.int32)
+    ic = jnp.clip(flat_i, 0, None)
+    rows = jnp.take(atlas.rows, ic >> 6, axis=0)          # [N, 64]
+    texel = jnp.where(lane64 == (ic & 63)[:, None], rows, 0).sum(axis=-1)
+    scale = jnp.where(flat_i >= 0, flat_w, 0.0) / F32(255.0)
+    r = scale * ((texel >> 16) & 0xFF).astype(F32)
+    g = scale * ((texel >> 8) & 0xFF).astype(F32)
+    b = scale * (texel & 0xFF).astype(F32)
+    return jnp.stack([r[:n].reshape(nf, n_pix).sum(axis=0),
+                      g[:n].reshape(nf, n_pix).sum(axis=0),
+                      b[:n].reshape(nf, n_pix).sum(axis=0)], axis=-1)
