@@ -229,6 +229,19 @@ TRI_TRANSP_ROW = 3 + _MAT_FIELDS.index("transparent")
 # leave room for the ray stacks and event buffers in ~16 MB of VMEM
 TRI_MAX_TRIANGLES = 32768
 _TRI_CULL = True      # debug toggle: False = brute-force every block
+# MXU passes for the Moller-Trumbore bilinear forms (see tri_pair_ts)
+_TRI_DOT_PRECISION = jax.lax.Precision.HIGHEST
+# shadow feelers only need a boolean any-hit, not an accurate t, so
+# their pair matmuls run single-pass bf16 (~2x whole-render speedup on
+# mesh scenes).  bf16's absolute tn noise is ~0.4% of the |o|,|v0|
+# feature magnitudes; the winner-id exclusion plus the plane-distance
+# guard below keep that noise from self-shadowing faces, leaving only
+# sub-sample boundary noise at shadow silhouettes
+_TRI_FEELER_PRECISION = jax.lax.Precision.DEFAULT
+_TRI_FEELER_PLANE_DIST = 0.05
+# feeler queries per matmul: tv is [4*TB, TRI_FEELER_QCH*LANES] f32 live
+# in VMEM (3.1 MB at QCH=3) next to the ray stacks
+TRI_FEELER_QCH = 3
 _TRI_DEBUG = int(os.environ.get("TPURAY_TRI_DEBUG", "0"))
 
 
@@ -307,22 +320,33 @@ def build_tri_blocks(scene: Scene) -> "TriBlocks | None":
     e1 = v1z - v0z
     e2 = v2z - v0z
     n = xp.cross(e1, e2)
-    m1 = xp.cross(v0z, e2)
-    m2 = xp.cross(v0z, e1)
-    c0 = xp.sum(v0z * n, axis=1)
+    # normalize every pair row by |n| (= 2*area): t = tn/det and all the
+    # sign tests are scale-invariant, but it makes tn the SIGNED PLANE
+    # DISTANCE of the ray origin times the direction cosine — the
+    # feeler's bf16 self/adjacent-shadow guard keys on that (see
+    # tri_pair_ts min_plane_dist) — and conditions det as a direction
+    # cosine so the 1e-7 degeneracy threshold means the same thing for
+    # every triangle size
+    inv_n = 1.0 / xp.maximum(
+        xp.sqrt(xp.sum(n * n, axis=1, keepdims=True)), np.float32(1e-30))
+    nrm = n * inv_n
+    e1n = e1 * inv_n
+    e2n = e2 * inv_n
+    m1 = xp.cross(v0z, e2n)
+    m2 = xp.cross(v0z, e1n)
+    c0 = xp.sum(v0z * nrm, axis=1)
 
     zc = xp.zeros((tp, 3), F32)
     z1 = xp.zeros((tp, 1), F32)
-    det_r = xp.concatenate([zc, -n, zc, z1], axis=1)
-    tn_r = xp.concatenate([n, zc, zc, -c0[:, None]], axis=1)
-    un_r = xp.concatenate([zc, m1, e2, z1], axis=1)
-    vn_r = xp.concatenate([zc, -m2, -e1, z1], axis=1)
+    det_r = xp.concatenate([zc, -nrm, zc, z1], axis=1)
+    tn_r = xp.concatenate([nrm, zc, zc, -c0[:, None]], axis=1)
+    un_r = xp.concatenate([zc, m1, e2n, z1], axis=1)
+    vn_r = xp.concatenate([zc, -m2, -e1n, z1], axis=1)
     full = xp.stack([det_r, tn_r, un_r, vn_r])               # [4, Tp, 10]
     b_lhs = full.reshape(4, nblk, TRI_TB, 10).transpose(3, 1, 0, 2) \
         .reshape(10, nblk * 4 * TRI_TB)
 
-    nn = n / xp.maximum(
-        xp.sqrt(xp.sum(n * n, axis=1, keepdims=True)), np.float32(1e-30))
+    nn = n * inv_n
     zpad = xp.zeros((pad,), F32)
     cols = [nn[:, 0], nn[:, 1], nn[:, 2]] + \
         [xp.concatenate([as_f32(c), zpad]) for c in
@@ -664,20 +688,28 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 [o1, o2, o3, d1, d2, d3, c1, c2, c3,
                  jnp.ones((1, LANES), F32)], axis=0)
 
-        def tri_pair_ts(b, feat):
-            """[TB, 128] per-pair hit t for block b (INF = no hit).
+        def tri_pair_ts(b, feat, precision=_TRI_DOT_PRECISION,
+                        min_plane_dist=None):
+            """[TB, N] per-pair hit t for block b (INF = no hit).
 
-            precision=HIGHEST: the TPU MXU multiplies f32 inputs in
-            bfloat16 by default, which costs ~3 decimal digits on det/t —
-            enough to flip edge sign tests and admit near-zero self-hit t
-            values whose degenerate hit points NaN the view-vector
-            normalize downstream.  Full-f32 passes keep the pair math at
-            XLA-tracer accuracy."""
+            precision=HIGHEST (default): the TPU MXU multiplies f32
+            inputs in bfloat16 by default, which costs ~3 decimal digits
+            on det/t — enough to flip edge sign tests and admit near-zero
+            self-hit t values whose degenerate hit points NaN the
+            view-vector normalize downstream.  Full-f32 passes keep the
+            pair math at XLA-tracer accuracy.  Callers that only need a
+            boolean any-hit (shadow feelers) may lower it and pass
+            ``min_plane_dist``: pairs whose plane passes within that
+            world-space distance of the ray origin are rejected — with
+            b_lhs rows normalized by |n| (build_tri_blocks), |tn| =
+            |t * (d.n_hat)| is exactly that distance for unit d — which
+            suppresses the bf16-noise self/adjacent-face shadows that
+            the eps offset cannot."""
             blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]       # [10, 4*TB]
             M = jax.lax.dot_general(
                 blk, feat, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,
-                precision=jax.lax.Precision.HIGHEST)        # [4*TB, 128]
+                precision=precision)                        # [4*TB, N]
             det = M[0 * TB:1 * TB, :]
             tn = M[1 * TB:2 * TB, :]
             un = M[2 * TB:3 * TB, :]
@@ -685,7 +717,32 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             okv = (jnp.abs(det) > np.float32(1e-7)) & (un * det >= 0) \
                 & (vn * det >= 0) & ((un + vn - det) * det <= 0) \
                 & (tn * det > 0)
+            if min_plane_dist is not None:
+                okv &= jnp.abs(tn) > np.float32(min_plane_dist)
             return jnp.where(okv, tn / jnp.where(det == 0, 1.0, det), INF)
+
+        def tri_pair_rel(b, feat, tmax):
+            """[TB, N] bool: does the pair's hit land in [0, tmax)?
+
+            The feeler-specialized pair test — same sign tests as
+            tri_pair_ts but DIVISION-FREE: t < tmax with t = tn/det is
+            (tn - tmax*det)*det < 0, so no per-pair div/INF select ever
+            materializes.  Runs at _TRI_FEELER_PRECISION with the
+            plane-distance guard (any-hit only needs a boolean)."""
+            blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]
+            M = jax.lax.dot_general(
+                blk, feat, (((0,), (0,)), ((), ())),
+                preferred_element_type=F32,
+                precision=_TRI_FEELER_PRECISION)
+            det = M[0 * TB:1 * TB, :]
+            tn = M[1 * TB:2 * TB, :]
+            un = M[2 * TB:3 * TB, :]
+            vn = M[3 * TB:4 * TB, :]
+            return (jnp.abs(det) > np.float32(1e-7)) & (un * det >= 0) \
+                & (vn * det >= 0) & ((un + vn - det) * det <= 0) \
+                & (tn * det > 0) \
+                & ((tn - tmax * det) * det < 0) \
+                & (jnp.abs(tn) > np.float32(_TRI_FEELER_PLANE_DIST))
 
         def tri_transp_col(b):
             """[TB, 1] per-triangle transparent flag for block b."""
@@ -719,20 +776,24 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             Returns (t_tri [S,L] (INF miss), attrs list of 16 [S,L] regs
             (nx,ny,nz + material fields), lblock_tri [S,L] bool,
             wid [S,L] i32 winning global triangle id — recorded by the
-            replay VJP, kernels/replay.py).  Blocks beyond max(bt, lt) for
-            every lane are AABB-culled (they can affect neither the
-            closest hit nor light occlusion)."""
+            replay VJP, kernels/replay.py).  Blocks beyond
+            max(min(bt, running tri best), lt) for every lane are
+            AABB-culled (they can affect neither the closest hit nor
+            light occlusion); the running-best term shrinks the cull
+            segment as earlier blocks land hits."""
             t_rows, a_rows, lb_rows, w_rows = [], [], [], []
             for s in range(SUBLANES):
                 feat = tri_features(s, px, py, pz, qx, qy, qz)
                 act_s = act[s:s + 1, :]
                 lt_s = lt[s:s + 1, :]
-                bound_s = jnp.maximum(
-                    bt[s:s + 1, :],
-                    jnp.where(lt_s < INF, lt_s, 0.0))
+                bt_s = bt[s:s + 1, :]
+                lt_seg = jnp.where(lt_s < INF, lt_s, 0.0)
 
                 def body(b, carry, feat=feat, act_s=act_s, lt_s=lt_s,
-                         bound_s=bound_s, s=s):
+                         bt_s=bt_s, lt_seg=lt_seg, s=s):
+                    bound_s = jnp.maximum(lt_seg,
+                                          jnp.minimum(bt_s, carry[0]))
+
                     def hit_branch(c):
                         tb_c, pick_c, lb_c, wid_c = c
                         tv = tri_pair_ts(b, feat)
@@ -784,42 +845,111 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                      for j in range(TRI_ATTR_ROWS)]
             return t_tri, attrs, lb_tri, wid
 
-        def tri_feeler(px, py, pz, qx, qy, qz, tmax, act):
-            """Shadow-feeler triangle test, whole tile: (blocked [S,L] bool,
-            opacity multiplier [S,L] = 0.8^#transparent-crossings), the
-            triangle extension of testShadowPath (primitives.cl:396-442)."""
-            bl_rows, cnt_rows = [], []
-            for s in range(SUBLANES):
-                feat = tri_features(s, px, py, pz, qx, qy, qz)
-                act_s = act[s:s + 1, :]
-                tmx_s = tmax[s:s + 1, :]
 
-                def body(b, carry, feat=feat, act_s=act_s, tmx_s=tmx_s,
-                         s=s):
+        def tri_feeler_multi(px, py, pz, queries, act, excl=None):
+            """ALL shadow-feeler queries of a shading step in ONE block
+            sweep — the triangle extension of testShadowPath
+            (primitives.cl:396-442), batched over the nl * n_samples
+            light-sample segments (shared origin ph, per-query direction
+            and range).
+
+            ``queries``: list of (qx, qy, qz, tmax) [S, L] tuples.
+            ``excl`` [S, L] i32: global triangle id to EXCLUDE from the
+            occluder set (-1 = none) — the triangle the shading point
+            lies on.  The origin is already eps-offset along the normal
+            so an exact-arithmetic feeler never re-hits it, but the
+            feeler pair matmuls run at _TRI_FEELER_PRECISION (bf16):
+            its absolute t noise (~1e-2 at scene scale) swamps the eps
+            offset and self-shadows entire faces without this guard.
+            Returns (blocked list of [S, L] bool, opac list of [S, L]).
+            Batching matters because feelers dominate mesh scenes (80% of
+            stage-5 time as 6 independent sweeps): one sweep pays the
+            per-(sublane, block) cull + cond + weight-load machinery once
+            for all queries, and the pair matmuls run Q-chunk wide on the
+            MXU.  The AABB cull unions the query segments (they share an
+            origin and aim at the same light cluster, so the union is
+            nearly as tight as any single segment)."""
+            Q = len(queries)
+            if Q == 0:
+                return [], []
+            bl_out = [[] for _ in range(Q)]
+            cnt_out = [[] for _ in range(Q)]
+            for s in range(SUBLANES):
+                feats = [tri_features(s, px, py, pz, qx, qy, qz)
+                         for (qx, qy, qz, _) in queries]
+                featQ = jnp.concatenate(feats, axis=1)      # [10, Q*L]
+                tmaxQ = jnp.concatenate(
+                    [t[s:s + 1, :] for (_, _, _, t) in queries], axis=1)
+                actQ = jnp.concatenate([act[s:s + 1, :]] * Q, axis=1)
+                exclQ = (jnp.concatenate([excl[s:s + 1, :]] * Q, axis=1)
+                         if excl is not None else None)
+                oQ = tuple(jnp.concatenate([v[s:s + 1, :]] * Q, axis=1)
+                           for v in (px, py, pz))
+                dQ = (featQ[3:4, :], featQ[4:5, :], featQ[5:6, :])
+
+                def cullQ(b, act_dyn, oQ=oQ, dQ=dQ, tmaxQ=tmaxQ):
+                    """Union slab test over every query segment (one
+                    scalar branch per block: per-chunk culls measured
+                    slower — the per-block cond overhead outweighs the
+                    pair savings because the lights mostly shine from
+                    the same side).  ``act_dyn`` drops lanes already
+                    known blocked, so shadowed regions stop sweeping."""
+                    tmn = jnp.zeros_like(tmaxQ)
+                    tmx = tmaxQ
+                    for k in range(3):
+                        lo = tri_aabb[b * 6 + k]
+                        hi = tri_aabb[b * 6 + 3 + k]
+                        safe = jnp.where(
+                            jnp.abs(dQ[k]) < np.float32(1e-12),
+                            np.float32(1e-12), dQ[k])
+                        inv = 1.0 / safe
+                        t0 = (lo - oQ[k]) * inv
+                        t1 = (hi - oQ[k]) * inv
+                        tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                        tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                    return jnp.any((tmx >= tmn) & (tmx >= 0) & act_dyn)
+
+                def body(b, carry, featQ=featQ, tmaxQ=tmaxQ, Q=Q,
+                         cullQ=cullQ, exclQ=exclQ, actQ=actQ):
+                    act_dyn = actQ & (carry[0] < 0.5)
+
                     def hit_branch(c):
-                        bl_c, cnt_c = c
-                        tv = tri_pair_ts(b, feat)
+                        bl_c, cnt_c = c                     # [1, Q*L]
                         tr = tri_transp_col(b)
-                        rel = (tv < INF) & (tv < tmx_s)
-                        bl_new = jnp.max((rel & (tr < 0.5)).astype(F32),
-                                         axis=0, keepdims=True)
-                        cnt_new = jnp.sum((rel & (tr > 0.5)).astype(F32),
-                                          axis=0, keepdims=True)
+                        bls, cnts = [], []
+                        for q0 in range(0, Q, TRI_FEELER_QCH):
+                            q1 = min(q0 + TRI_FEELER_QCH, Q)
+                            sl = slice(q0 * LANES, q1 * LANES)
+                            rel = tri_pair_rel(b, featQ[:, sl],
+                                               tmaxQ[:, sl])
+                            if exclQ is not None:
+                                gid = jax.lax.broadcasted_iota(
+                                    I32, rel.shape, 0) + b * np.int32(TB)
+                                rel &= gid != exclQ[:, sl]
+                            bls.append(jnp.max(
+                                (rel & (tr < 0.5)).astype(F32),
+                                axis=0, keepdims=True))
+                            cnts.append(jnp.sum(
+                                (rel & (tr > 0.5)).astype(F32),
+                                axis=0, keepdims=True))
+                        bl_new = jnp.concatenate(bls, axis=1)
+                        cnt_new = jnp.concatenate(cnts, axis=1)
                         return (jnp.maximum(bl_c, bl_new), cnt_c + cnt_new)
 
-                    return jax.lax.cond(
-                        tri_cull(b, s, px, py, pz, qx, qy, qz, act_s,
-                                 tmx_s),
-                        hit_branch, lambda c: c, carry)
+                    return jax.lax.cond(cullQ(b, act_dyn), hit_branch,
+                                        lambda c: c, carry)
 
-                init = (jnp.zeros((1, LANES), F32),
-                        jnp.zeros((1, LANES), F32))
+                init = (jnp.zeros((1, Q * LANES), F32),
+                        jnp.zeros((1, Q * LANES), F32))
                 bl_s, cnt_s = jax.lax.fori_loop(0, nblk, body, init)
-                bl_rows.append(bl_s)
-                cnt_rows.append(cnt_s)
-            blocked = jnp.concatenate(bl_rows, axis=0) > 0.5
-            cnt = jnp.concatenate(cnt_rows, axis=0)
-            opac = jnp.exp(cnt * np.float32(np.log(cfg.transparent_through)))
+                for q in range(Q):
+                    sl = slice(q * LANES, (q + 1) * LANES)
+                    bl_out[q].append(bl_s[:, sl])
+                    cnt_out[q].append(cnt_s[:, sl])
+            lnt = np.float32(np.log(cfg.transparent_through))
+            blocked = [jnp.concatenate(r, axis=0) > 0.5 for r in bl_out]
+            opac = [jnp.exp(jnp.concatenate(r, axis=0) * lnt)
+                    for r in cnt_out]
             return blocked, opac
 
         def one_step(carry):
@@ -1103,13 +1233,17 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 az = zero
                 ssrs = []
                 vx_, vy_, vz_ = _normalize(ox - phx, oy - phy, oz - phz)
+                # pass 1: draw EVERY light sample (rng order unchanged)
+                # and run the cheap sphere/plane occluders; triangle
+                # feelers for all nl * n_samples segments run in ONE
+                # batched block sweep (tri_feeler_multi) — the per-sweep
+                # cull/cond machinery dominated mesh scenes when each
+                # sample swept the blocks on its own
+                queries, sp_bl, sp_op = [], [], []
                 for i in range(nl):
-                    lox, loy, loz = u("li_o", 3 * i), u("li_o", 3 * i + 1), \
-                        u("li_o", 3 * i + 2)
+                    lox, loy, loz = u("li_o", 3 * i), \
+                        u("li_o", 3 * i + 1), u("li_o", 3 * i + 2)
                     lrad = u("li_r", i)
-                    sdx, sdy, sdz = _normalize(lox - phx, loy - phy,
-                                               loz - phz)
-                    soft = zero
                     for _ in range(n_samples):
                         rng, r1 = _xorshift32(rng)
                         theta = two_pi * r1
@@ -1120,7 +1254,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         sy = loy + lrad * sphi * jnp.sin(theta)
                         sz = loz + lrad * jnp.cos(phi)
                         # testShadowPath (primitives.cl:396-442)
-                        qx, qy, qz = _normalize(sx - phx, sy - phy, sz - phz)
+                        qx, qy, qz = _normalize(sx - phx, sy - phy,
+                                                sz - phz)
                         ddx = sx - phx
                         ddy = sy - phy
                         ddz = sz - phz
@@ -1136,13 +1271,27 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         for j in range(npl):
                             h, t = plane_t(j, phx, phy, phz, qx, qy, qz)
                             blocked |= h & (t < tmax)
-                        if nblk:
-                            t_bl, t_op = tri_feeler(phx, phy, phz,
-                                                    qx, qy, qz, tmax,
-                                                    is_solid)
-                            blocked |= t_bl
-                            opac *= t_op
-                        soft += jnp.where(blocked, 0.0, opac)
+                        queries.append((qx, qy, qz, tmax))
+                        sp_bl.append(blocked)
+                        sp_op.append(opac)
+                if nblk:
+                    excl = jnp.where(tri_better, tri_wid, np.int32(-1))
+                    t_bls, t_ops = tri_feeler_multi(phx, phy, phz,
+                                                    queries, is_solid,
+                                                    excl)
+                    sp_bl = [b | tb for b, tb in zip(sp_bl, t_bls)]
+                    sp_op = [o * to for o, to in zip(sp_op, t_ops)]
+                # pass 2: per-light soft ratios + Phong
+                qi = 0
+                for i in range(nl):
+                    lox, loy, loz = u("li_o", 3 * i), \
+                        u("li_o", 3 * i + 1), u("li_o", 3 * i + 2)
+                    sdx, sdy, sdz = _normalize(lox - phx, loy - phy,
+                                               loz - phz)
+                    soft = zero
+                    for _ in range(n_samples):
+                        soft += jnp.where(sp_bl[qi], 0.0, sp_op[qi])
+                        qi += 1
                     if n_samples:
                         ssr = soft / np.float32(n_samples)
                     else:
