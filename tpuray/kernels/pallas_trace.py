@@ -222,7 +222,10 @@ def build_atlas(assets: SceneAssets) -> TexelAtlas:
 # extension; BASELINE.json config 5 — the reference has no triangles)
 # ---------------------------------------------------------------------------
 
-TRI_TB = 512          # triangles per VMEM matmul block
+# triangles per matmul block.  128 measured best on stage 5 under the
+# block-outer sweeps (tighter AABBs cut pairs 4x and the whole-tile cond
+# amortizes the branch): 512 -> 52.5 ms, 128 -> 37.9 ms
+TRI_TB = int(os.environ.get("TPURAY_TRI_TB", "128"))
 TRI_ATTR_ROWS = 16    # nx, ny, nz + the 13 _MAT_FIELDS
 TRI_TRANSP_ROW = 3 + _MAT_FIELDS.index("transparent")
 # VMEM budget cap: b_lhs (160 B/tri) + attr (64 B/tri) + pair temps must
@@ -241,7 +244,11 @@ _TRI_FEELER_PRECISION = jax.lax.Precision.DEFAULT
 _TRI_FEELER_PLANE_DIST = 0.05
 # feeler queries per matmul: tv is [4*TB, TRI_FEELER_QCH*LANES] f32 live
 # in VMEM (3.1 MB at QCH=3) next to the ray stacks
-TRI_FEELER_QCH = 3
+TRI_FEELER_QCH = int(os.environ.get("TPURAY_TRI_QCH", "3"))
+# sublane rows per closest-hit pair matmul (tv is [4*TB, CGROUP*LANES]);
+# block sweeps branch once per block on a whole-tile cull, then run all
+# SUBLANES/CGROUP matmuls back-to-back (8 measured best at TB=128)
+TRI_CGROUP = int(os.environ.get("TPURAY_TRI_CGROUP", "8"))
 _TRI_DEBUG = int(os.environ.get("TPURAY_TRI_DEBUG", "0"))
 
 
@@ -750,25 +757,37 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                            pl.ds(b * TB, TB)]
             return jnp.transpose(row)
 
-        def tri_cull(b, s, px, py, pz, qx, qy, qz, act_s, bound_s):
-            """Scalar: does any active lane's [0, bound] segment hit block
-            b's AABB?  Conservative slab test (near-parallel axes get a
-            signed tiny direction, which only widens the interval)."""
-            o_s = (px[s:s + 1, :], py[s:s + 1, :], pz[s:s + 1, :])
-            d_s = (qx[s:s + 1, :], qy[s:s + 1, :], qz[s:s + 1, :])
-            tmn = jnp.zeros((1, LANES), F32)
-            tmx = bound_s
+        def tri_cull_tile(b, o3, d3, act, bound):
+            """Scalar: does ANY active lane's [0, bound] segment hit block
+            b's AABB?  The slab test runs vectorized over the whole
+            [S, L] tile (or [S, Q*L] feeler query batch) — per-lane
+            exact, one scalar reduce + one branch per BLOCK instead of
+            one per (sublane, block): the cond/scalar-sync machinery,
+            not the pair matmuls, dominated mesh sweeps at per-sublane
+            granularity (measured on stage 5: per-sublane conds 52.5 ms,
+            whole-tile conds + grouped matmuls ~30 ms; doubling blocks
+            via TB=256 under per-sublane conds REGRESSED to 65 ms).
+            Near-parallel axes get a signed tiny direction, which only
+            widens the interval (conservative)."""
+            return jnp.any(tri_cull_mask(b, o3, d3, act, bound))
+
+        def tri_cull_mask(b, o3, d3, act, bound):
+            """Per-lane slab-test hit mask vs block b's AABB (the
+            vectorized body behind tri_cull_tile; feelers also reuse its
+            rows for per-sublane skipping inside a hit block)."""
+            tmn = jnp.zeros_like(bound)
+            tmx = bound
             for k in range(3):
                 lo = tri_aabb[b * 6 + k]
                 hi = tri_aabb[b * 6 + 3 + k]
-                safe = jnp.where(jnp.abs(d_s[k]) < np.float32(1e-12),
-                                 np.float32(1e-12), d_s[k])
+                safe = jnp.where(jnp.abs(d3[k]) < np.float32(1e-12),
+                                 np.float32(1e-12), d3[k])
                 inv = 1.0 / safe
-                t0 = (lo - o_s[k]) * inv
-                t1 = (hi - o_s[k]) * inv
+                t0 = (lo - o3[k]) * inv
+                t1 = (hi - o3[k]) * inv
                 tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
                 tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
-            return jnp.any((tmx >= tmn) & (tmx >= 0) & act_s)
+            return (tmx >= tmn) & (tmx >= 0) & act
 
         def tri_closest(px, py, pz, qx, qy, qz, act, lt, bt):
             """Closest triangle + winner attrs + light-occlusion, whole tile.
@@ -776,73 +795,82 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             Returns (t_tri [S,L] (INF miss), attrs list of 16 [S,L] regs
             (nx,ny,nz + material fields), lblock_tri [S,L] bool,
             wid [S,L] i32 winning global triangle id — recorded by the
-            replay VJP, kernels/replay.py).  Blocks beyond
-            max(min(bt, running tri best), lt) for every lane are
-            AABB-culled (they can affect neither the closest hit nor
-            light occlusion); the running-best term shrinks the cull
-            segment as earlier blocks land hits."""
-            t_rows, a_rows, lb_rows, w_rows = [], [], [], []
-            for s in range(SUBLANES):
-                feat = tri_features(s, px, py, pz, qx, qy, qz)
-                act_s = act[s:s + 1, :]
-                lt_s = lt[s:s + 1, :]
-                bt_s = bt[s:s + 1, :]
-                lt_seg = jnp.where(lt_s < INF, lt_s, 0.0)
+            replay VJP, kernels/replay.py).  One whole-tile AABB cull +
+            cond per block (tri_cull_tile); a hit block runs all
+            SUBLANES pair matmuls back-to-back, TRI_CGROUP sublanes wide
+            per MXU call.  Blocks beyond max(min(bt, running tri best),
+            lt) for every lane are culled (they can affect neither the
+            closest hit nor light occlusion); the running-best term
+            shrinks the cull segment as earlier blocks land hits."""
+            feats = [tri_features(s, px, py, pz, qx, qy, qz)
+                     for s in range(SUBLANES)]
+            G = TRI_CGROUP
+            featg = [jnp.concatenate(feats[g:g + G], axis=1)
+                     for g in range(0, SUBLANES, G)]
+            lt_seg = jnp.where(lt < INF, lt, 0.0)
+            A = TRI_ATTR_ROWS
 
-                def body(b, carry, feat=feat, act_s=act_s, lt_s=lt_s,
-                         bt_s=bt_s, lt_seg=lt_seg, s=s):
-                    bound_s = jnp.maximum(lt_seg,
-                                          jnp.minimum(bt_s, carry[0]))
+            def body(b, carry):
+                bound = jnp.maximum(lt_seg, jnp.minimum(bt, carry[0]))
 
-                    def hit_branch(c):
-                        tb_c, pick_c, lb_c, wid_c = c
-                        tv = tri_pair_ts(b, feat)
-                        tmin = jnp.min(tv, axis=0, keepdims=True)
-                        ridx = jax.lax.broadcasted_iota(I32, (TB, LANES), 0)
-                        first = jnp.min(
-                            jnp.where(tv == tmin, ridx, np.int32(TB)),
-                            axis=0, keepdims=True)
-                        oh = ((ridx == first) & (tv < INF)).astype(F32)
-                        attr_blk = tri_attr[:, pl.ds(b * TB, TB)]
-                        # one-hot pick: HIGHEST so normals/materials are
-                        # not rounded to bf16 on the MXU
-                        picked = jnp.dot(attr_blk, oh,
-                                         preferred_element_type=F32,
-                                         precision=jax.lax.Precision.HIGHEST)
-                        tr = tri_transp_col(b)
-                        rel = (tv < INF) & (tv <= lt_s) & (tr < 0.5)
-                        lb_new = jnp.max(rel.astype(F32), axis=0,
-                                         keepdims=True)
-                        better = tmin < tb_c
-                        return (jnp.where(better, tmin, tb_c),
-                                jnp.where(better, picked, pick_c),
-                                jnp.maximum(lb_c, lb_new),
-                                jnp.where(better,
-                                          b * np.int32(TB) + first, wid_c))
+                def hit_branch(c):
+                    tb_c, pick_c, lb_c, wid_c = c
+                    attr_blk = tri_attr[:, pl.ds(b * TB, TB)]
+                    tr = tri_transp_col(b)
+                    t_rows, a_rows, lb_rows, w_rows = [], [], [], []
+                    for gi, g in enumerate(range(0, SUBLANES, G)):
+                        tvg = tri_pair_ts(b, featg[gi])     # [TB, G*L]
+                        for i in range(min(G, SUBLANES - g)):
+                            s = g + i
+                            tv = tvg[:, i * LANES:(i + 1) * LANES]
+                            tmin = jnp.min(tv, axis=0, keepdims=True)
+                            ridx = jax.lax.broadcasted_iota(
+                                I32, (TB, LANES), 0)
+                            first = jnp.min(
+                                jnp.where(tv == tmin, ridx, np.int32(TB)),
+                                axis=0, keepdims=True)
+                            oh = ((ridx == first) & (tv < INF)).astype(F32)
+                            # one-hot pick: HIGHEST so normals/materials
+                            # are not rounded to bf16 on the MXU
+                            picked = jnp.dot(
+                                attr_blk, oh, preferred_element_type=F32,
+                                precision=jax.lax.Precision.HIGHEST)
+                            rel = (tv < INF) \
+                                & (tv <= lt[s:s + 1, :]) & (tr < 0.5)
+                            lb_new = jnp.max(rel.astype(F32), axis=0,
+                                             keepdims=True)
+                            better = tmin < tb_c[s:s + 1, :]
+                            t_rows.append(jnp.where(better, tmin,
+                                                    tb_c[s:s + 1, :]))
+                            a_rows.append(jnp.where(
+                                better, picked,
+                                pick_c[s * A:(s + 1) * A, :]))
+                            lb_rows.append(jnp.maximum(
+                                lb_c[s:s + 1, :], lb_new))
+                            w_rows.append(jnp.where(
+                                better, b * np.int32(TB) + first,
+                                wid_c[s:s + 1, :]))
+                    return (jnp.concatenate(t_rows, axis=0),
+                            jnp.concatenate(a_rows, axis=0),
+                            jnp.concatenate(lb_rows, axis=0),
+                            jnp.concatenate(w_rows, axis=0))
 
-                    if _TRI_CULL:
-                        return jax.lax.cond(
-                            tri_cull(b, s, px, py, pz, qx, qy, qz, act_s,
-                                     bound_s),
-                            hit_branch, lambda c: c, carry)
-                    return hit_branch(carry)
+                if _TRI_CULL:
+                    return jax.lax.cond(
+                        tri_cull_tile(b, (px, py, pz), (qx, qy, qz), act,
+                                      bound),
+                        hit_branch, lambda c: c, carry)
+                return hit_branch(carry)
 
-                init = (jnp.full((1, LANES), INF),
-                        jnp.zeros((TRI_ATTR_ROWS, LANES), F32),
-                        jnp.zeros((1, LANES), F32),
-                        jnp.zeros((1, LANES), I32))
-                tb_s, pick_s, lb_s, wid_s = jax.lax.fori_loop(
-                    0, nblk, body, init)
-                t_rows.append(tb_s)
-                a_rows.append(pick_s)
-                lb_rows.append(lb_s)
-                w_rows.append(wid_s)
-            t_tri = jnp.concatenate(t_rows, axis=0)
-            lb_tri = jnp.concatenate(lb_rows, axis=0) > 0.5
-            wid = jnp.concatenate(w_rows, axis=0)
-            attrs = [jnp.concatenate([a_rows[s][j:j + 1, :]
+            init = (jnp.full((SUBLANES, LANES), INF),
+                    jnp.zeros((A * SUBLANES, LANES), F32),
+                    jnp.zeros((SUBLANES, LANES), F32),
+                    jnp.zeros((SUBLANES, LANES), I32))
+            t_tri, pick, lb, wid = jax.lax.fori_loop(0, nblk, body, init)
+            lb_tri = lb > 0.5
+            attrs = [jnp.concatenate([pick[s * A + j:s * A + j + 1, :]
                                       for s in range(SUBLANES)], axis=0)
-                     for j in range(TRI_ATTR_ROWS)]
+                     for j in range(A)]
             return t_tri, attrs, lb_tri, wid
 
 
@@ -862,94 +890,102 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             its absolute t noise (~1e-2 at scene scale) swamps the eps
             offset and self-shadows entire faces without this guard.
             Returns (blocked list of [S, L] bool, opac list of [S, L]).
-            Batching matters because feelers dominate mesh scenes (80% of
-            stage-5 time as 6 independent sweeps): one sweep pays the
-            per-(sublane, block) cull + cond + weight-load machinery once
-            for all queries, and the pair matmuls run Q-chunk wide on the
-            MXU.  The AABB cull unions the query segments (they share an
-            origin and aim at the same light cluster, so the union is
-            nearly as tight as any single segment)."""
+            Batching matters because feelers dominate mesh scenes: one
+            block sweep serves all nl * n_samples queries, the pair
+            matmuls run TRI_FEELER_QCH queries wide on the MXU, and the
+            two-level cull (whole-batch cond per block + per-sublane
+            conds inside, sharing one vectorized slab mask) skips the
+            pairs that can't occlude.  The AABB cull unions the query
+            segments per lane (they share an origin and aim at the same
+            light cluster, so the union is nearly as tight as any
+            single segment)."""
             Q = len(queries)
             if Q == 0:
                 return [], []
-            bl_out = [[] for _ in range(Q)]
-            cnt_out = [[] for _ in range(Q)]
+            # [S, Q*L] batch layout: query q occupies lane columns
+            # [q*L, (q+1)*L) of every sublane row
+            featQ_s = []
             for s in range(SUBLANES):
                 feats = [tri_features(s, px, py, pz, qx, qy, qz)
                          for (qx, qy, qz, _) in queries]
-                featQ = jnp.concatenate(feats, axis=1)      # [10, Q*L]
-                tmaxQ = jnp.concatenate(
-                    [t[s:s + 1, :] for (_, _, _, t) in queries], axis=1)
-                actQ = jnp.concatenate([act[s:s + 1, :]] * Q, axis=1)
-                exclQ = (jnp.concatenate([excl[s:s + 1, :]] * Q, axis=1)
-                         if excl is not None else None)
-                oQ = tuple(jnp.concatenate([v[s:s + 1, :]] * Q, axis=1)
-                           for v in (px, py, pz))
-                dQ = (featQ[3:4, :], featQ[4:5, :], featQ[5:6, :])
+                featQ_s.append(jnp.concatenate(feats, axis=1))  # [10, Q*L]
+            tmaxQ = jnp.concatenate(
+                [t for (_, _, _, t) in queries], axis=1)        # [S, Q*L]
+            dQ = tuple(jnp.concatenate([q[k] for q in queries], axis=1)
+                       for k in range(3))
+            oQ = tuple(jnp.concatenate([v] * Q, axis=1)
+                       for v in (px, py, pz))
+            actQ = jnp.concatenate([act] * Q, axis=1)
+            exclQ = (jnp.concatenate([excl] * Q, axis=1)
+                     if excl is not None else None)
 
-                def cullQ(b, act_dyn, oQ=oQ, dQ=dQ, tmaxQ=tmaxQ):
-                    """Union slab test over every query segment (one
-                    scalar branch per block: per-chunk culls measured
-                    slower — the per-block cond overhead outweighs the
-                    pair savings because the lights mostly shine from
-                    the same side).  ``act_dyn`` drops lanes already
-                    known blocked, so shadowed regions stop sweeping."""
-                    tmn = jnp.zeros_like(tmaxQ)
-                    tmx = tmaxQ
-                    for k in range(3):
-                        lo = tri_aabb[b * 6 + k]
-                        hi = tri_aabb[b * 6 + 3 + k]
-                        safe = jnp.where(
-                            jnp.abs(dQ[k]) < np.float32(1e-12),
-                            np.float32(1e-12), dQ[k])
-                        inv = 1.0 / safe
-                        t0 = (lo - oQ[k]) * inv
-                        t1 = (hi - oQ[k]) * inv
-                        tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
-                        tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
-                    return jnp.any((tmx >= tmn) & (tmx >= 0) & act_dyn)
+            def body(b, carry):
+                # drop lanes already known blocked, so shadowed regions
+                # stop sweeping.  Two cull levels, one mask computation:
+                # a whole-batch cond per block, then per-sublane conds
+                # inside the hit block reusing the mask rows — feeler
+                # lanes diverge as they get blocked, so per-sublane
+                # matmul skipping pays for its 16 small branches
+                # (measured: tile-cond-only regressed 55->65 ms on
+                # stage 5; the hybrid is the fastest of the three)
+                act_dyn = actQ & (carry[0] < 0.5)
+                mask = tri_cull_mask(b, oQ, dQ, act_dyn, tmaxQ)
 
-                def body(b, carry, featQ=featQ, tmaxQ=tmaxQ, Q=Q,
-                         cullQ=cullQ, exclQ=exclQ, actQ=actQ):
-                    act_dyn = actQ & (carry[0] < 0.5)
+                def hit_branch(c):
+                    bl_c, cnt_c = c                         # [S, Q*L]
+                    tr = tri_transp_col(b)
 
-                    def hit_branch(c):
-                        bl_c, cnt_c = c                     # [1, Q*L]
-                        tr = tri_transp_col(b)
+                    def srow(s):
                         bls, cnts = [], []
                         for q0 in range(0, Q, TRI_FEELER_QCH):
                             q1 = min(q0 + TRI_FEELER_QCH, Q)
                             sl = slice(q0 * LANES, q1 * LANES)
-                            rel = tri_pair_rel(b, featQ[:, sl],
-                                               tmaxQ[:, sl])
+                            rel = tri_pair_rel(b, featQ_s[s][:, sl],
+                                               tmaxQ[s:s + 1, sl])
                             if exclQ is not None:
                                 gid = jax.lax.broadcasted_iota(
                                     I32, rel.shape, 0) + b * np.int32(TB)
-                                rel &= gid != exclQ[:, sl]
+                                rel &= gid != exclQ[s:s + 1, sl]
                             bls.append(jnp.max(
                                 (rel & (tr < 0.5)).astype(F32),
                                 axis=0, keepdims=True))
                             cnts.append(jnp.sum(
                                 (rel & (tr > 0.5)).astype(F32),
                                 axis=0, keepdims=True))
-                        bl_new = jnp.concatenate(bls, axis=1)
-                        cnt_new = jnp.concatenate(cnts, axis=1)
-                        return (jnp.maximum(bl_c, bl_new), cnt_c + cnt_new)
+                        return (jnp.concatenate(bls, axis=1),
+                                jnp.concatenate(cnts, axis=1))
 
-                    return jax.lax.cond(cullQ(b, act_dyn), hit_branch,
+                    bl_rows, cnt_rows = [], []
+                    for s in range(SUBLANES):
+                        blc_s = bl_c[s:s + 1, :]
+                        cnt_s = cnt_c[s:s + 1, :]
+                        if _TRI_CULL:
+                            bl_s, cn_s = jax.lax.cond(
+                                jnp.any(mask[s:s + 1, :]),
+                                lambda _, s=s: srow(s),
+                                lambda _: (jnp.zeros((1, Q * LANES), F32),
+                                           jnp.zeros((1, Q * LANES), F32)),
+                                0)
+                        else:
+                            bl_s, cn_s = srow(s)
+                        bl_rows.append(jnp.maximum(blc_s, bl_s))
+                        cnt_rows.append(cnt_s + cn_s)
+                    return (jnp.concatenate(bl_rows, axis=0),
+                            jnp.concatenate(cnt_rows, axis=0))
+
+                if _TRI_CULL:
+                    return jax.lax.cond(jnp.any(mask), hit_branch,
                                         lambda c: c, carry)
+                return hit_branch(carry)
 
-                init = (jnp.zeros((1, Q * LANES), F32),
-                        jnp.zeros((1, Q * LANES), F32))
-                bl_s, cnt_s = jax.lax.fori_loop(0, nblk, body, init)
-                for q in range(Q):
-                    sl = slice(q * LANES, (q + 1) * LANES)
-                    bl_out[q].append(bl_s[:, sl])
-                    cnt_out[q].append(cnt_s[:, sl])
+            init = (jnp.zeros((SUBLANES, Q * LANES), F32),
+                    jnp.zeros((SUBLANES, Q * LANES), F32))
+            bl_s, cnt_s = jax.lax.fori_loop(0, nblk, body, init)
             lnt = np.float32(np.log(cfg.transparent_through))
-            blocked = [jnp.concatenate(r, axis=0) > 0.5 for r in bl_out]
-            opac = [jnp.exp(jnp.concatenate(r, axis=0) * lnt)
-                    for r in cnt_out]
+            blocked = [bl_s[:, q * LANES:(q + 1) * LANES] > 0.5
+                       for q in range(Q)]
+            opac = [jnp.exp(cnt_s[:, q * LANES:(q + 1) * LANES] * lnt)
+                    for q in range(Q)]
             return blocked, opac
 
         def one_step(carry):

@@ -197,6 +197,39 @@ def _stack_materials(mats: Sequence[MaterialSpec]) -> Materials:
     )
 
 
+def _morton_argsort(tris: Sequence[TriangleSpec]) -> np.ndarray:
+    """Spatial (Morton / Z-order) ordering of triangles by centroid.
+
+    Triangle order is semantically irrelevant to the renderer (closest-hit
+    over a set; ties only on shared edges, a measure-zero set), but the
+    Pallas megakernel packs consecutive triangles into 512-wide MXU blocks
+    whose AABBs drive per-block culling (kernels/pallas_trace.py
+    tri_cull): spatially sorted input makes those AABBs tight for ANY mesh
+    order, not just meshes whose authoring order happens to be coherent.
+    10 bits per axis over the scene bounding box, stable argsort.
+    """
+    n = len(tris)
+    if n <= 1:
+        return np.arange(n)
+    v = np.array([[t.v0, t.v1, t.v2] for t in tris], np.float64)  # [T,3,3]
+    c = v.mean(axis=1)                                            # [T,3]
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.minimum((c - lo) / span * 1024.0, 1023.0).astype(np.uint64)
+
+    def part1by2(x):
+        x &= np.uint64(0x3FF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x30000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x30C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x9249249)
+        return x
+
+    code = part1by2(q[:, 0]) | (part1by2(q[:, 1]) << np.uint64(1)) \
+        | (part1by2(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
 def build_scene(spec: SceneSpec) -> Scene:
     """Convert authoring spec lists into the SoA ``Scene`` pytree."""
     f32 = np.float32
@@ -211,6 +244,7 @@ def build_scene(spec: SceneSpec) -> Scene:
             return jnp.zeros((0,), f32)
         return jnp.asarray(np.array([get(x) for x in items], dtype=f32))
 
+    tris = [spec.triangles[i] for i in _morton_argsort(spec.triangles)]
     return Scene(
         sphere_origin=vecs(spec.spheres, lambda s: s.origin),
         sphere_radius=scalars(spec.spheres, lambda s: s.radius),
@@ -222,10 +256,10 @@ def build_scene(spec: SceneSpec) -> Scene:
         light_radius=scalars(spec.lights, lambda l: l.radius),
         light_intensity=scalars(spec.lights, lambda l: l.intensity),
         light_rgb=vecs(spec.lights, lambda l: l.rgb),
-        tri_v0=vecs(spec.triangles, lambda t: t.v0),
-        tri_v1=vecs(spec.triangles, lambda t: t.v1),
-        tri_v2=vecs(spec.triangles, lambda t: t.v2),
-        tri_mat=_stack_materials([t.material for t in spec.triangles]),
+        tri_v0=vecs(tris, lambda t: t.v0),
+        tri_v1=vecs(tris, lambda t: t.v1),
+        tri_v2=vecs(tris, lambda t: t.v2),
+        tri_mat=_stack_materials([t.material for t in tris]),
     )
 
 
