@@ -94,6 +94,33 @@ def main():
                                atol=5e-4)
     print("ok pallas", flush=True)
 
+    # streamed triangle blocks under shard_map: force the HBM-streaming
+    # path (cap patched below a small mesh's count) and check the
+    # row-sharded render equals the single-device streamed render —
+    # covers >TRI_MAX_TRIANGLES scenes on the multi-chip path
+    import tpuray.kernels.pallas_trace as pt
+    from tpuray.kernels.pallas_trace import render_pallas
+    from tpuray.meshes import add_mesh, icosphere
+    pt.TRI_MAX_TRIANGLES, old_cap = 64, pt.TRI_MAX_TRIANGLES
+    pt.TRI_STREAM_TB, old_stb = 128, pt.TRI_STREAM_TB
+    try:
+        mspec = SceneSpec(spheres=spec.spheres[:1], planes=spec.planes,
+                          lights=spec.lights)
+        v, f = icosphere(1)     # 80 tris > the patched 64-tri cap
+        add_mesh(mspec, v, f, PLASTIC.replace(rgb=(0.9, 0.7, 0.2)),
+                 scale=0.8, offset=(0.5, 1.0, 2.5))
+        mscene = mspec.to_scene()
+        scfg = RenderConfig(width=32, height=16, max_depth=2, chunk_size=0)
+        sbasis = perspective_basis(cam, scfg.width, scfg.height)
+        simg = render_sharded_pallas(mscene, assets, sbasis, scfg, mesh,
+                                     interpret=True)
+        uimg = render_pallas(mscene, assets, sbasis, scfg, interpret=True)
+        np.testing.assert_allclose(np.asarray(simg), np.asarray(uimg),
+                                   atol=1e-5)
+    finally:
+        pt.TRI_MAX_TRIANGLES, pt.TRI_STREAM_TB = old_cap, old_stb
+    print("ok pallas_stream", flush=True)
+
     # sharded replay-VJP: megakernel record forward + replay backward per
     # row shard, scene grads psum'd — must equal the single-device custom
     # VJP's loss and grads exactly (same records, same replay math)

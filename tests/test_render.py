@@ -176,6 +176,9 @@ class TestShardedRender:
     def test_megakernel_under_shard_map(self):
         self._assert_ok("pallas")
 
+    def test_streamed_tri_blocks_under_shard_map(self):
+        self._assert_ok("pallas_stream")
+
     def test_sharded_replay_vjp_matches_single_device(self):
         self._assert_ok("pallas_grad")
 

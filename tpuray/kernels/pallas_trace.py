@@ -229,8 +229,19 @@ TRI_TB = int(os.environ.get("TPURAY_TRI_TB", "128"))
 TRI_ATTR_ROWS = 16    # nx, ny, nz + the 13 _MAT_FIELDS
 TRI_TRANSP_ROW = 3 + _MAT_FIELDS.index("transparent")
 # VMEM budget cap: b_lhs (160 B/tri) + attr (64 B/tri) + pair temps must
-# leave room for the ray stacks and event buffers in ~16 MB of VMEM
+# leave room for the ray stacks and event buffers in ~16 MB of VMEM.
+# Scenes above it stream triangle blocks through a double-buffered VMEM
+# scratch from HBM instead (see _pallas_forward) up to
+# TRI_STREAM_MAX_TRIANGLES; only beyond THAT does the engine fall back
+# to the XLA tracer.
 TRI_MAX_TRIANGLES = 32768
+# streamed-path block size: chunky DMAs (82 KB b_lhs + 8 KB attr per
+# block) amortize the per-copy latency that TRI_TB-sized blocks cannot
+TRI_STREAM_TB = int(os.environ.get("TPURAY_TRI_STREAM_TB", "512"))
+# block AABBs live in SMEM (6 f32 each); 1024 blocks keeps that at
+# 24 KB.  512 * 1024 = 524,288 triangles, 16x the VMEM-resident cap
+TRI_STREAM_MAX_BLOCKS = 1024
+TRI_STREAM_MAX_TRIANGLES = TRI_STREAM_TB * TRI_STREAM_MAX_BLOCKS
 _TRI_CULL = True      # debug toggle: False = brute-force every block
 # MXU passes for the Moller-Trumbore bilinear forms (see tri_pair_ts)
 _TRI_DOT_PRECISION = jax.lax.Precision.HIGHEST
@@ -279,7 +290,7 @@ def _mat_columns(mat, concrete: bool = False) -> list:
             mat.texture_scale]
 
 
-def build_tri_blocks(scene: Scene) -> "TriBlocks | None":
+def build_tri_blocks(scene: Scene, tb: int = None) -> "TriBlocks | None":
     """Pure-jnp per-triangle constants for the in-kernel MXU intersection.
 
     Moller-Trumbore for ray (o, d) and triangle (v0, e1=v1-v0, e2=v2-v0):
@@ -307,13 +318,14 @@ def build_tri_blocks(scene: Scene) -> "TriBlocks | None":
     t_count = scene.num_triangles
     if t_count == 0:
         return None
+    tb = TRI_TB if tb is None else tb
     concrete = not any(
         isinstance(leaf, jax.core.Tracer)
         for leaf in jax.tree.leaves((scene.tri_v0, scene.tri_v1,
                                      scene.tri_v2, scene.tri_mat)))
     xp = np if concrete else jnp
-    nblk = -(-t_count // TRI_TB)
-    tp = nblk * TRI_TB
+    nblk = -(-t_count // tb)
+    tp = nblk * tb
     pad = tp - t_count
 
     def as_f32(a):
@@ -350,8 +362,8 @@ def build_tri_blocks(scene: Scene) -> "TriBlocks | None":
     un_r = xp.concatenate([zc, m1, e2n, z1], axis=1)
     vn_r = xp.concatenate([zc, -m2, -e1n, z1], axis=1)
     full = xp.stack([det_r, tn_r, un_r, vn_r])               # [4, Tp, 10]
-    b_lhs = full.reshape(4, nblk, TRI_TB, 10).transpose(3, 1, 0, 2) \
-        .reshape(10, nblk * 4 * TRI_TB)
+    b_lhs = full.reshape(4, nblk, tb, 10).transpose(3, 1, 0, 2) \
+        .reshape(10, nblk * 4 * tb)
 
     nn = n * inv_n
     zpad = xp.zeros((pad,), F32)
@@ -364,9 +376,9 @@ def build_tri_blocks(scene: Scene) -> "TriBlocks | None":
         [v, xp.repeat(v[-1:], pad, axis=0)])
     v0e, v1e, v2e = rep(v0), rep(v1), rep(v2)
     lo = xp.minimum(xp.minimum(v0e, v1e), v2e) \
-        .reshape(nblk, TRI_TB, 3).min(axis=1)
+        .reshape(nblk, tb, 3).min(axis=1)
     hi = xp.maximum(xp.maximum(v0e, v1e), v2e) \
-        .reshape(nblk, TRI_TB, 3).max(axis=1)
+        .reshape(nblk, tb, 3).max(axis=1)
     aabb = xp.concatenate([lo, hi], axis=1).reshape(-1)      # [nblk*6]
     if concrete:
         b_lhs = b_lhs.astype(np.float32)
@@ -503,7 +515,8 @@ def _plane_basis(nx, ny, nz):
 
 def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                  width: int, height: int, gx: int, nblk: int = 0,
-                 record: bool = False):
+                 record: bool = False, stream: bool = False,
+                 tb: int = None):
     """Builds the tile kernel closure.  All loop bounds / offsets static.
 
     v2 structure (after profiling the v1 kernel at ~116 us/DFS-step):
@@ -550,13 +563,20 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
     def kernel(*refs):
         if nblk:
-            # triangle scenes: AABBs in SMEM, matmul blocks + attrs in VMEM
+            # triangle scenes: AABBs in SMEM; matmul blocks + attrs in
+            # VMEM, or (stream mode, > TRI_MAX_TRIANGLES) in HBM as
+            # [nblk, 10, 4*TB] / [nblk, ATTR, TB] arrays DMA'd through a
+            # double-buffered VMEM scratch, one block ahead of compute
             uni, tri_aabb, tri_b, tri_attr = refs[:4]
             outs = refs[4:]
         else:
             uni = refs[0]
             tri_aabb = tri_b = tri_attr = None
             outs = refs[1:]
+        tri_buf_b = tri_buf_attr = tri_sem = None
+        if nblk and stream:
+            tri_buf_b, tri_buf_attr, tri_sem = outs[-3:]
+            outs = outs[:-3]
         if record:
             (c_out, ev_idx_out, ev_w_out, over_out, rec_out, ssr_out,
              stk_f, stk_i, stk_p) = outs
@@ -682,7 +702,56 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         # (primitives.py:intersect_triangle) up to matmul rounding; same
         # brute-force no-BVH model as the reference's closest-hit loop
         # (primitives.cl:322-394), generalized to triangles.
-        TB = TRI_TB
+        TB = (TRI_TB if tb is None else tb)
+        A_ROWS = TRI_ATTR_ROWS
+
+        # ---- triangle-table access: VMEM-resident vs HBM-streamed ----
+        if nblk and stream:
+            def tri_dma(b):
+                """(b_lhs, attr) copies of block b into VMEM slot b%2.
+                Slot strides are 16 sublanes (10 b_lhs rows padded) so
+                Mosaic can prove the dynamic offsets 8-aligned."""
+                slot = jax.lax.rem(b, 2)
+                return (pltpu.make_async_copy(
+                            tri_b.at[b],
+                            tri_buf_b.at[pl.ds(slot * 16, 16), :],
+                            tri_sem.at[slot, 0]),
+                        pltpu.make_async_copy(
+                            tri_attr.at[b],
+                            tri_buf_attr.at[pl.ds(slot * A_ROWS, A_ROWS), :],
+                            tri_sem.at[slot, 1]))
+
+            def tri_stream_start(b):
+                for c in tri_dma(b):
+                    c.start()
+
+            def tri_sync(b):
+                """Issue block b+1's copies, wait for block b's.  Runs
+                UNCONDITIONALLY per block (outside the cull cond) so
+                every started copy is waited exactly once."""
+                @pl.when(b + 1 < nblk)
+                def _():
+                    tri_stream_start(b + 1)
+                for c in tri_dma(b):
+                    c.wait()
+                return jax.lax.rem(b, 2)
+
+            def tri_load(b, slot):
+                """(blk [10, 4*TB], attr [ATTR, TB]) for block b — reads
+                the VMEM slot tri_sync(b) returned; call inside the hit
+                branch so culled blocks skip the VMEM->register load."""
+                return (tri_buf_b[pl.ds(slot * 16, 10), :],
+                        tri_buf_attr[pl.ds(slot * A_ROWS, A_ROWS), :])
+        else:
+            def tri_stream_start(b):
+                pass
+
+            def tri_sync(b):
+                return b
+
+            def tri_load(b, slot):
+                return (tri_b[:, pl.ds(b * 4 * TB, 4 * TB)],
+                        tri_attr[:, pl.ds(b * TB, TB)])
 
         def tri_features(s, px, py, pz, qx, qy, qz):
             """[10, 128] feature matrix for sublane row s of a ray tile."""
@@ -695,7 +764,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 [o1, o2, o3, d1, d2, d3, c1, c2, c3,
                  jnp.ones((1, LANES), F32)], axis=0)
 
-        def tri_pair_ts(b, feat, precision=_TRI_DOT_PRECISION,
+        def tri_pair_ts(blk, feat, precision=_TRI_DOT_PRECISION,
                         min_plane_dist=None):
             """[TB, N] per-pair hit t for block b (INF = no hit).
 
@@ -712,7 +781,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             |t * (d.n_hat)| is exactly that distance for unit d — which
             suppresses the bf16-noise self/adjacent-face shadows that
             the eps offset cannot."""
-            blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]       # [10, 4*TB]
             M = jax.lax.dot_general(
                 blk, feat, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,
@@ -728,7 +796,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 okv &= jnp.abs(tn) > np.float32(min_plane_dist)
             return jnp.where(okv, tn / jnp.where(det == 0, 1.0, det), INF)
 
-        def tri_pair_rel(b, feat, tmax):
+        def tri_pair_rel(blk, feat, tmax):
             """[TB, N] bool: does the pair's hit land in [0, tmax)?
 
             The feeler-specialized pair test — same sign tests as
@@ -736,7 +804,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             (tn - tmax*det)*det < 0, so no per-pair div/INF select ever
             materializes.  Runs at _TRI_FEELER_PRECISION with the
             plane-distance guard (any-hit only needs a boolean)."""
-            blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]
             M = jax.lax.dot_general(
                 blk, feat, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,
@@ -751,11 +818,10 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 & ((tn - tmax * det) * det < 0) \
                 & (jnp.abs(tn) > np.float32(_TRI_FEELER_PLANE_DIST))
 
-        def tri_transp_col(b):
-            """[TB, 1] per-triangle transparent flag for block b."""
-            row = tri_attr[TRI_TRANSP_ROW:TRI_TRANSP_ROW + 1,
-                           pl.ds(b * TB, TB)]
-            return jnp.transpose(row)
+        def tri_transp_col(attr_blk):
+            """[TB, 1] per-triangle transparent flag for a loaded block."""
+            return jnp.transpose(
+                attr_blk[TRI_TRANSP_ROW:TRI_TRANSP_ROW + 1, :])
 
         def tri_cull_tile(b, o3, d3, act, bound):
             """Scalar: does ANY active lane's [0, bound] segment hit block
@@ -811,15 +877,16 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             A = TRI_ATTR_ROWS
 
             def body(b, carry):
+                slot = tri_sync(b)
                 bound = jnp.maximum(lt_seg, jnp.minimum(bt, carry[0]))
 
                 def hit_branch(c):
                     tb_c, pick_c, lb_c, wid_c = c
-                    attr_blk = tri_attr[:, pl.ds(b * TB, TB)]
-                    tr = tri_transp_col(b)
+                    blk, attr_blk = tri_load(b, slot)
+                    tr = tri_transp_col(attr_blk)
                     t_rows, a_rows, lb_rows, w_rows = [], [], [], []
                     for gi, g in enumerate(range(0, SUBLANES, G)):
-                        tvg = tri_pair_ts(b, featg[gi])     # [TB, G*L]
+                        tvg = tri_pair_ts(blk, featg[gi])   # [TB, G*L]
                         for i in range(min(G, SUBLANES - g)):
                             s = g + i
                             tv = tvg[:, i * LANES:(i + 1) * LANES]
@@ -866,6 +933,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     jnp.zeros((A * SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), I32))
+            tri_stream_start(0)
             t_tri, pick, lb, wid = jax.lax.fori_loop(0, nblk, body, init)
             lb_tri = lb > 0.5
             attrs = [jnp.concatenate([pick[s * A + j:s * A + j + 1, :]
@@ -929,18 +997,20 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 # (measured: tile-cond-only regressed 55->65 ms on
                 # stage 5; the hybrid is the fastest of the three)
                 act_dyn = actQ & (carry[0] < 0.5)
+                slot = tri_sync(b)
                 mask = tri_cull_mask(b, oQ, dQ, act_dyn, tmaxQ)
 
                 def hit_branch(c):
                     bl_c, cnt_c = c                         # [S, Q*L]
-                    tr = tri_transp_col(b)
+                    blk, attr_blk = tri_load(b, slot)
+                    tr = tri_transp_col(attr_blk)
 
                     def srow(s):
                         bls, cnts = [], []
                         for q0 in range(0, Q, TRI_FEELER_QCH):
                             q1 = min(q0 + TRI_FEELER_QCH, Q)
                             sl = slice(q0 * LANES, q1 * LANES)
-                            rel = tri_pair_rel(b, featQ_s[s][:, sl],
+                            rel = tri_pair_rel(blk, featQ_s[s][:, sl],
                                                tmaxQ[s:s + 1, sl])
                             if exclQ is not None:
                                 gid = jax.lax.broadcasted_iota(
@@ -980,6 +1050,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
             init = (jnp.zeros((SUBLANES, Q * LANES), F32),
                     jnp.zeros((SUBLANES, Q * LANES), F32))
+            tri_stream_start(0)
             bl_s, cnt_s = jax.lax.fori_loop(0, nblk, body, init)
             lnt = np.float32(np.log(cfg.transparent_through))
             blocked = [bl_s[:, q * LANES:(q + 1) * LANES] > 0.5
@@ -1584,7 +1655,21 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
                          scene.num_lights)
     atlas = build_atlas(assets)
     uni = pack_uniforms(scene, basis, lay, row0)
-    tri = build_tri_blocks(scene)
+    # beyond the VMEM-resident table budget, triangle blocks live in HBM
+    # and stream through a double-buffered VMEM scratch inside the kernel
+    stream = scene.num_triangles > TRI_MAX_TRIANGLES
+    tb = TRI_STREAM_TB if stream else TRI_TB
+    tri = build_tri_blocks(scene, tb=tb)
+    if stream and tri.nblk > TRI_STREAM_MAX_BLOCKS:
+        raise ValueError(
+            f"{scene.num_triangles} triangles exceed the streamed-path "
+            f"cap ({TRI_STREAM_MAX_TRIANGLES}); use the XLA tracer")
+    if stream and record:
+        raise ValueError(
+            "record mode (the replay VJP) packs winner triangle ids into "
+            "15 bits and is limited to scenes <= "
+            f"{TRI_MAX_TRIANGLES} triangles; use the XLA tracer's AD path "
+            "for larger meshes")
 
     gx = -(-width // LANES)
     gy = -(-height // SUBLANES)
@@ -1596,9 +1681,24 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
     kernel = _make_kernel(
         lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
               atlas.sky_h, atlas.sky_w), cfg, width, height, gx,
-        nblk=tri.nblk if tri else 0, record=record)
+        nblk=tri.nblk if tri else 0, record=record, stream=stream, tb=tb)
 
-    if tri:
+    if tri and stream:
+        # contiguous per-block layout so each DMA is one dense copy
+        nb = tri.nblk
+        b3 = tri.b_lhs.reshape(10, nb, 4 * tb).transpose(1, 0, 2)
+        # pad the 10 feature rows to 16: DMA slice shapes must be
+        # 8-sublane-aligned on TPU
+        b3 = np.concatenate(
+            [b3, np.zeros((nb, 6, 4 * tb), np.float32)], axis=1)             if isinstance(b3, np.ndarray) else jnp.concatenate(
+                [b3, jnp.zeros((nb, 6, 4 * tb), F32)], axis=1)
+        a3 = tri.attr.reshape(TRI_ATTR_ROWS, nb, tb).transpose(1, 0, 2)
+        inputs = (uni, tri.aabb, b3, a3)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+    elif tri:
         inputs = (uni, tri.aabb, tri.b_lhs, tri.attr)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1632,6 +1732,12 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
         # parent codes of stacked (reflected) children
         scratch.append(pltpu.VMEM((cfg.max_depth * SUBLANES, LANES),
                                   jnp.int32))
+    if tri and stream:
+        # double-buffered triangle-block slots + per-(slot, table) DMA
+        # semaphores (kernel-side tri_sync / tri_load)
+        scratch.append(pltpu.VMEM((2 * 16, 4 * tb), jnp.float32))
+        scratch.append(pltpu.VMEM((2 * TRI_ATTR_ROWS, tb), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
 
     outs = pl.pallas_call(
         kernel,
@@ -1940,6 +2046,9 @@ def render_pallas_stats(scene: Scene, assets: SceneAssets,
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The Pallas engine covers the full feature set — spheres, planes,
     lights, textures, skybox (nearest AND bilinear filtering) and
-    triangle meshes (in-kernel MXU blocks) — up to the VMEM budget for
-    the triangle tables; beyond that the XLA tracer takes over."""
-    return scene.num_triangles <= TRI_MAX_TRIANGLES
+    triangle meshes (in-kernel MXU blocks; VMEM-resident tables up to
+    TRI_MAX_TRIANGLES, HBM-streamed double-buffered blocks beyond) — up
+    to TRI_STREAM_MAX_TRIANGLES; beyond that the XLA tracer takes
+    over.  Record mode (the replay VJP) is additionally capped at
+    TRI_MAX_TRIANGLES (15-bit winner ids in the node records)."""
+    return scene.num_triangles <= TRI_STREAM_MAX_TRIANGLES

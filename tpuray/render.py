@@ -37,7 +37,8 @@ def _pad_to(x, n, axis=0):
 
 
 def _use_pallas(scene: Scene, cfg: RenderConfig) -> bool:
-    from .kernels.pallas_trace import TRI_MAX_TRIANGLES, pallas_supported
+    from .kernels.pallas_trace import (TRI_STREAM_MAX_TRIANGLES,
+                                       pallas_supported)
     if cfg.engine == "pallas":
         return True
     if cfg.engine == "xla":
@@ -49,8 +50,8 @@ def _use_pallas(scene: Scene, cfg: RenderConfig) -> bool:
         warnings.warn(
             f"engine='auto' fell back to the XLA tracer: the scene's "
             f"{scene.num_triangles} triangles exceed the megakernel's "
-            f"VMEM-resident table cap ({TRI_MAX_TRIANGLES}); expect a "
-            f"~100x slower render",
+            f"HBM-streamed table cap ({TRI_STREAM_MAX_TRIANGLES}); "
+            f"expect a ~100x slower render",
             RuntimeWarning, stacklevel=3)
     return supported and jax.default_backend() != "cpu"
 
