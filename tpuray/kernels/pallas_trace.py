@@ -248,9 +248,9 @@ _TRI_DOT_PRECISION = jax.lax.Precision.HIGHEST
 # shadow feelers only need a boolean any-hit, not an accurate t, so
 # their pair matmuls run single-pass bf16 (~2x whole-render speedup on
 # mesh scenes).  bf16's absolute tn noise is ~0.4% of the |o|,|v0|
-# feature magnitudes; the winner-id exclusion plus the plane-distance
-# guard below keep that noise from self-shadowing faces, leaving only
-# sub-sample boundary noise at shadow silhouettes
+# feature magnitudes; the plane-distance guard below keeps that noise
+# from self-shadowing faces, leaving only sub-sample boundary noise at
+# shadow silhouettes
 _TRI_FEELER_PRECISION = jax.lax.Precision.DEFAULT
 _TRI_FEELER_PLANE_DIST = 0.05
 # feeler queries per matmul: tv is [4*TB, TRI_FEELER_QCH*LANES] f32 live
@@ -260,6 +260,11 @@ TRI_FEELER_QCH = int(os.environ.get("TPURAY_TRI_QCH", "3"))
 # block sweeps branch once per block on a whole-tile cull, then run all
 # SUBLANES/CGROUP matmuls back-to-back (8 measured best at TB=128)
 TRI_CGROUP = int(os.environ.get("TPURAY_TRI_CGROUP", "8"))
+# winner-attribute one-hot pick precision (HIGHEST: normals/materials
+# must not round to bf16; env knob exists to measure its cost)
+_TRI_PICK_PRECISION = (jax.lax.Precision.DEFAULT
+                       if int(os.environ.get("TPURAY_TRI_PICK_BF16", "0"))
+                       else jax.lax.Precision.HIGHEST)
 _TRI_DEBUG = int(os.environ.get("TPURAY_TRI_DEBUG", "0"))
 
 
@@ -796,14 +801,23 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 okv &= jnp.abs(tn) > np.float32(min_plane_dist)
             return jnp.where(okv, tn / jnp.where(det == 0, 1.0, det), INF)
 
-        def tri_pair_rel(blk, feat, tmax):
-            """[TB, N] bool: does the pair's hit land in [0, tmax)?
+        def tri_pair_sum(blk, feat, tmax, wop):
+            """[1, N] weighted occluder sum for a feeler chunk.
 
-            The feeler-specialized pair test — same sign tests as
-            tri_pair_ts but DIVISION-FREE: t < tmax with t = tn/det is
-            (tn - tmax*det)*det < 0, so no per-pair div/INF select ever
-            materializes.  Runs at _TRI_FEELER_PRECISION with the
-            plane-distance guard (any-hit only needs a boolean)."""
+            Division-free Moller-Trumbore validity, min-combined so the
+            five sign tests cost 3 mins + 2 compares instead of five
+            compare+and chains, then ONE weighted reduction: opaque
+            occluders weigh 256, transparent ones 1, so the caller
+            recovers any-opaque-hit (sum >= 256) and the transparent
+            count (sum mod 256) from a single [1, N] row (TB <= 128 hits
+            per block keeps both fields exact).  The reference's source-
+            triangle self-shadow risk is handled by the plane-distance
+            guard alone: b_lhs rows are normalized by |n| so |tn| is the
+            signed plane distance of the (eps-offset) origin — the
+            source triangle's plane sits ~eps + bf16 noise away, well
+            inside _TRI_FEELER_PLANE_DIST (the guard this constant was
+            sized for); an explicit winner-id exclusion is redundant
+            (verified against the XLA tracer, which has neither)."""
             M = jax.lax.dot_general(
                 blk, feat, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,
@@ -812,11 +826,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             tn = M[1 * TB:2 * TB, :]
             un = M[2 * TB:3 * TB, :]
             vn = M[3 * TB:4 * TB, :]
-            return (jnp.abs(det) > np.float32(1e-7)) & (un * det >= 0) \
-                & (vn * det >= 0) & ((un + vn - det) * det <= 0) \
-                & (tn * det > 0) \
-                & ((tn - tmax * det) * det < 0) \
-                & (jnp.abs(tn) > np.float32(_TRI_FEELER_PLANE_DIST))
+            m3 = jnp.minimum(jnp.minimum(un * det, vn * det),
+                             (det - un - vn) * det)
+            m2 = jnp.minimum(tn * det, (tmax * det - tn) * det)
+            rel = (m3 >= 0) & (m2 > 0)                 & (jnp.abs(det) > np.float32(1e-7))                 & (jnp.abs(tn) > np.float32(_TRI_FEELER_PLANE_DIST))
+            return jnp.sum(jnp.where(rel, wop, 0.0), axis=0,
+                           keepdims=True)
 
         def tri_transp_col(attr_blk):
             """[TB, 1] per-triangle transparent flag for a loaded block."""
@@ -901,7 +916,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                             # are not rounded to bf16 on the MXU
                             picked = jnp.dot(
                                 attr_blk, oh, preferred_element_type=F32,
-                                precision=jax.lax.Precision.HIGHEST)
+                                precision=_TRI_PICK_PRECISION)
                             rel = (tv < INF) \
                                 & (tv <= lt[s:s + 1, :]) & (tr < 0.5)
                             lb_new = jnp.max(rel.astype(F32), axis=0,
@@ -942,7 +957,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             return t_tri, attrs, lb_tri, wid
 
 
-        def tri_feeler_multi(px, py, pz, queries, act, excl=None):
+        def tri_feeler_multi(px, py, pz, queries, act):
             """ALL shadow-feeler queries of a shading step in ONE block
             sweep — the triangle extension of testShadowPath
             (primitives.cl:396-442), batched over the nl * n_samples
@@ -950,13 +965,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             and range).
 
             ``queries``: list of (qx, qy, qz, tmax) [S, L] tuples.
-            ``excl`` [S, L] i32: global triangle id to EXCLUDE from the
-            occluder set (-1 = none) — the triangle the shading point
-            lies on.  The origin is already eps-offset along the normal
-            so an exact-arithmetic feeler never re-hits it, but the
-            feeler pair matmuls run at _TRI_FEELER_PRECISION (bf16):
-            its absolute t noise (~1e-2 at scene scale) swamps the eps
-            offset and self-shadows entire faces without this guard.
+            The feeler pair matmuls run at _TRI_FEELER_PRECISION (bf16):
+            absolute t noise (~1e-2 at scene scale) swamps the eps
+            offset and would self-shadow entire faces; the plane-
+            distance guard in tri_pair_sum suppresses that (see its
+            docstring — the old winner-id exclusion it replaced was
+            strictly weaker).
             Returns (blocked list of [S, L] bool, opac list of [S, L]).
             Batching matters because feelers dominate mesh scenes: one
             block sweep serves all nl * n_samples queries, the pair
@@ -984,8 +998,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             oQ = tuple(jnp.concatenate([v] * Q, axis=1)
                        for v in (px, py, pz))
             actQ = jnp.concatenate([act] * Q, axis=1)
-            exclQ = (jnp.concatenate([excl] * Q, axis=1)
-                     if excl is not None else None)
 
             def body(b, carry):
                 # drop lanes already known blocked, so shadowed regions
@@ -1004,26 +1016,21 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     bl_c, cnt_c = c                         # [S, Q*L]
                     blk, attr_blk = tri_load(b, slot)
                     tr = tri_transp_col(attr_blk)
+                    wop = jnp.where(tr > 0.5, 1.0, np.float32(256.0))
 
                     def srow(s):
-                        bls, cnts = [], []
+                        sums = []
                         for q0 in range(0, Q, TRI_FEELER_QCH):
                             q1 = min(q0 + TRI_FEELER_QCH, Q)
                             sl = slice(q0 * LANES, q1 * LANES)
-                            rel = tri_pair_rel(blk, featQ_s[s][:, sl],
-                                               tmaxQ[s:s + 1, sl])
-                            if exclQ is not None:
-                                gid = jax.lax.broadcasted_iota(
-                                    I32, rel.shape, 0) + b * np.int32(TB)
-                                rel &= gid != exclQ[s:s + 1, sl]
-                            bls.append(jnp.max(
-                                (rel & (tr < 0.5)).astype(F32),
-                                axis=0, keepdims=True))
-                            cnts.append(jnp.sum(
-                                (rel & (tr > 0.5)).astype(F32),
-                                axis=0, keepdims=True))
-                        return (jnp.concatenate(bls, axis=1),
-                                jnp.concatenate(cnts, axis=1))
+                            sums.append(tri_pair_sum(
+                                blk, featQ_s[s][:, sl],
+                                tmaxQ[s:s + 1, sl], wop))
+                        sv = jnp.concatenate(sums, axis=1)  # [1, Q*L]
+                        bl_s = (sv >= 256.0).astype(F32)
+                        cn_s = sv - 256.0 * jnp.floor(
+                            sv * np.float32(1.0 / 256.0))
+                        return bl_s, cn_s
 
                     bl_rows, cnt_rows = [], []
                     for s in range(SUBLANES):
@@ -1382,10 +1389,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         sp_bl.append(blocked)
                         sp_op.append(opac)
                 if nblk:
-                    excl = jnp.where(tri_better, tri_wid, np.int32(-1))
                     t_bls, t_ops = tri_feeler_multi(phx, phy, phz,
-                                                    queries, is_solid,
-                                                    excl)
+                                                    queries, is_solid)
                     sp_bl = [b | tb for b, tb in zip(sp_bl, t_bls)]
                     sp_op = [o * to for o, to in zip(sp_op, t_ops)]
                 # pass 2: per-light soft ratios + Phong
