@@ -13,6 +13,12 @@ Checks:
   forward       render_sharded == single-device trace_rays
   grad          sharded loss+grad finite, light grad nonzero, psum-correct
   pallas        render_sharded_pallas (interpret mode) == render_sharded
+  scene_parallel  triangles sharded over the mesh (pmin/pmax/psum per
+                query) == single-device tracer
+  mesh2d        2-D pixels x triangles mesh == single-device tracer
+  pallas_stream streamed (>cap) triangle blocks under shard_map ==
+                single-device streamed render
+  pallas_grad   sharded replay-VJP == single-device custom VJP
   distributed   ensure_initialized is a single-process no-op; global_mesh
                 spans the virtual device set
 """
@@ -36,8 +42,10 @@ def main():
                                RenderConfig)
     from tpuray.kernels.trace import trace_rays
     from tpuray.parallel import distributed
-    from tpuray.parallel.shard import (loss_and_scene_grad_sharded,
-                                       make_mesh, render_sharded,
+    from tpuray.parallel.shard import (AXIS, TRI_AXIS,
+                                       loss_and_scene_grad_sharded,
+                                       make_mesh, render_scene_parallel,
+                                       render_sharded, render_sharded_2d,
                                        render_sharded_pallas)
     from tpuray.scene import (GLASS, PLASTIC, LightSpec, PlaneSpec,
                               SceneSpec, SphereSpec)
@@ -93,6 +101,34 @@ def main():
     np.testing.assert_allclose(np.asarray(pallas_img), np.asarray(ref),
                                atol=5e-4)
     print("ok pallas", flush=True)
+
+    # scene parallelism: triangles sharded over the mesh, rays
+    # replicated, pmin/pmax/psum per query — must equal the
+    # single-device tracer exactly (tie rule preserved).  Also the 2-D
+    # (pixels x triangles) mesh: 4-way pixel rows x 2-way triangles
+    from jax.sharding import Mesh
+    from tpuray.meshes import mesh_benchmark_scene
+    tspec = mesh_benchmark_scene(order=1, torus_res=(12, 8))
+    tscene = tspec.to_scene()    # 272 tris + 2 spheres/planes/3 lights
+    tcfg = RenderConfig(width=32, height=16, max_depth=2, chunk_size=0)
+    tbasis = perspective_basis(cam, tcfg.width, tcfg.height)
+    o2, d2 = generate_rays(tbasis, tcfg.width, tcfg.height)
+    ids2 = jnp.arange(tcfg.num_pixels, dtype=jnp.uint32)
+    tref = trace_rays(tscene, assets, o2, d2, ids2, tcfg).reshape(
+        tcfg.height, tcfg.width, 3)
+    # atol 1e-4: a handful of silhouette lanes land on closest-hit ties
+    # whose winner differs by one ulp of t across the pmin reduction
+    sp_img = render_scene_parallel(tscene, assets, tbasis, tcfg, mesh)
+    np.testing.assert_allclose(np.asarray(sp_img), np.asarray(tref),
+                               atol=1e-4)
+    print("ok scene_parallel", flush=True)
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                  (AXIS, TRI_AXIS))
+    img2d = render_sharded_2d(tscene, assets, tbasis, tcfg, mesh2d)
+    np.testing.assert_allclose(np.asarray(img2d), np.asarray(tref),
+                               atol=1e-4)
+    print("ok mesh2d", flush=True)
 
     # streamed triangle blocks under shard_map: force the HBM-streaming
     # path (cap patched below a small mesh's count) and check the

@@ -176,6 +176,12 @@ class TestShardedRender:
     def test_megakernel_under_shard_map(self):
         self._assert_ok("pallas")
 
+    def test_scene_parallel_matches_single_device(self):
+        self._assert_ok("scene_parallel")
+
+    def test_2d_mesh_pixels_x_triangles(self):
+        self._assert_ok("mesh2d")
+
     def test_streamed_tri_blocks_under_shard_map(self):
         self._assert_ok("pallas_stream")
 

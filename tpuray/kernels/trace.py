@@ -119,30 +119,50 @@ def _plane_ts(scene: Scene, o, d):
 
 
 _TRI_TILE = 512
+_TRI_NO_ID = I32(2 ** 30)
 
 
-def _tri_closest(scene: Scene, o, d) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Closest triangle hit: (t_best [P] (inf on miss), idx_best [P]).
+def _tri_shard(scene: Scene, tri_axis: str, tri_shards: int):
+    """This device's triangle range under scene parallelism.
 
-    Tiled scan over triangles so the [P, T] intermediate never materializes
-    in HBM for large meshes (BVH-free brute force per the north star)."""
+    Returns (v0, v1, v2, transp [Ts], gid0 traced, n_valid traced): the
+    FULL (replicated) triangle tables are padded to ``tri_shards`` equal
+    _TRI_TILE-aligned ranges and each device dynamic-slices its own —
+    the O(P*T) intersection work is what scene parallelism divides; the
+    tables themselves are tiny and stay replicated (SURVEY.md §2
+    scene-parallel row: shard primitives, psum the min-reductions)."""
     t_count = scene.num_triangles
+    ts = -(-t_count // tri_shards)
+    ts = -(-ts // _TRI_TILE) * _TRI_TILE          # tile-aligned shard size
+    pad = tri_shards * ts - t_count
+    ai = jax.lax.axis_index(tri_axis)
+    gid0 = ai * I32(ts)
+
+    def sl(a, fill=0.0):
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.pad(a, widths), gid0, ts, 0)
+
+    n_valid = jnp.minimum(jnp.maximum(I32(t_count) - gid0, 0), I32(ts))
+    return (sl(scene.tri_v0), sl(scene.tri_v1), sl(scene.tri_v2),
+            sl(scene.tri_mat.transparent), gid0, n_valid)
+
+
+def _tri_closest_arrays(v0, v1, v2, n_valid, o, d):
+    """Closest hit over one triangle array (padded to _TRI_TILE): returns
+    (t_best [P] (inf on miss), idx_best [P] into this array)."""
     p = o.shape[0]
-    if t_count == 0:
-        return jnp.full((p,), INF, F32), jnp.zeros((p,), I32)
-    if t_count <= _TRI_TILE:
+    total = v0.shape[0]
+
+    if total <= _TRI_TILE:
         hit, ts = pr.intersect_triangle(o[:, None, :], d[:, None, :],
-                                        scene.tri_v0[None], scene.tri_v1[None],
-                                        scene.tri_v2[None])
-        tsm = jnp.where(hit, ts, INF)
+                                        v0[None], v1[None], v2[None])
+        valid = hit & (jnp.arange(total, dtype=I32)[None, :] < n_valid)
+        tsm = jnp.where(valid, ts, INF)
         idx = jnp.argmin(tsm, axis=1).astype(I32)
         return jnp.min(tsm, axis=1), idx
 
-    pad = (-t_count) % _TRI_TILE
-    v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
-    v1 = jnp.pad(scene.tri_v1, ((0, pad), (0, 0)))
-    v2 = jnp.pad(scene.tri_v2, ((0, pad), (0, 0)))
-    n_tiles = (t_count + pad) // _TRI_TILE
+    n_tiles = total // _TRI_TILE
     tiles = (v0.reshape(n_tiles, _TRI_TILE, 3),
              v1.reshape(n_tiles, _TRI_TILE, 3),
              v2.reshape(n_tiles, _TRI_TILE, 3),
@@ -154,7 +174,7 @@ def _tri_closest(scene: Scene, o, d) -> Tuple[jnp.ndarray, jnp.ndarray]:
         hit, ts = pr.intersect_triangle(o[:, None, :], d[:, None, :],
                                         tv0[None], tv1[None], tv2[None])
         valid = hit & (jnp.arange(_TRI_TILE, dtype=I32)[None, :]
-                       + k * _TRI_TILE < t_count)
+                       + k * _TRI_TILE < n_valid)
         tsm = jnp.where(valid, ts, INF)
         loc = jnp.argmin(tsm, axis=1).astype(I32)
         tmin = jnp.min(tsm, axis=1)
@@ -167,55 +187,110 @@ def _tri_closest(scene: Scene, o, d) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return t_best, i_best
 
 
-def _tri_any_blocker(scene: Scene, o, d, tmax, inclusive: bool):
+def _tri_closest(scene: Scene, o, d, tri_axis=None,
+                 tri_shards: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest triangle hit: (t_best [P] (inf on miss), idx_best [P]).
+
+    Tiled scan over triangles so the [P, T] intermediate never materializes
+    in HBM for large meshes (BVH-free brute force per the north star).
+    With ``tri_axis`` (scene parallelism) each device tests only its
+    triangle shard and the winner is reduced with two collectives: a
+    pmin of t, then a pmin of the winning GLOBAL id among the devices
+    holding that t — lowest id wins exact ties, matching the
+    single-device first-in-order rule."""
+    t_count = scene.num_triangles
+    p = o.shape[0]
+    if t_count == 0:
+        return jnp.full((p,), INF, F32), jnp.zeros((p,), I32)
+
+    if tri_axis is not None and tri_shards > 1:
+        v0, v1, v2, _, gid0, n_valid = _tri_shard(scene, tri_axis,
+                                                  tri_shards)
+        t_loc, i_loc = _tri_closest_arrays(v0, v1, v2, n_valid, o, d)
+        t_g = jax.lax.pmin(t_loc, tri_axis)
+        gwin = jnp.where(t_loc == t_g, i_loc + gid0, _TRI_NO_ID)
+        i_g = jax.lax.pmin(gwin, tri_axis)
+        return t_g, jnp.clip(i_g, 0, t_count - 1)
+
+    pad = (-t_count) % _TRI_TILE if t_count > _TRI_TILE else 0
+    v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
+    v1 = jnp.pad(scene.tri_v1, ((0, pad), (0, 0)))
+    v2 = jnp.pad(scene.tri_v2, ((0, pad), (0, 0)))
+    return _tri_closest_arrays(v0, v1, v2, I32(t_count), o, d)
+
+
+def _tri_blocker_arrays(v0, v1, v2, transp, n_valid, o, d, tmax,
+                        inclusive: bool):
+    """(blocked [P] bool, transparent_crossings [P] i32) over one padded
+    triangle array."""
+    p = o.shape[0]
+    total = v0.shape[0]
+
+    def tile_fn(v0t, v1t, v2t, trt, validt):
+        hit, ts = pr.intersect_triangle(o[:, None, :], d[:, None, :],
+                                        v0t[None], v1t[None], v2t[None])
+        within = ts <= tmax[:, None] if inclusive else ts < tmax[:, None]
+        rel = hit & within & validt[None, :]
+        blocked = jnp.any(rel & ~trt[None, :], axis=1)
+        cnt = jnp.sum((rel & trt[None, :]).astype(I32), axis=1)
+        return blocked, cnt
+
+    ids = jnp.arange(total, dtype=I32)
+    if total <= _TRI_TILE:
+        return tile_fn(v0, v1, v2, transp, ids < n_valid)
+
+    n_tiles = total // _TRI_TILE
+    tiles = (v0.reshape(n_tiles, _TRI_TILE, 3),
+             v1.reshape(n_tiles, _TRI_TILE, 3),
+             v2.reshape(n_tiles, _TRI_TILE, 3),
+             transp.reshape(n_tiles, _TRI_TILE),
+             (ids < n_valid).reshape(n_tiles, _TRI_TILE))
+
+    def body(carry, tile):
+        blocked, cnt = carry
+        b, c = tile_fn(*tile)
+        return (blocked | b, cnt + c), None
+
+    (blocked, cnt), _ = jax.lax.scan(
+        body, (jnp.zeros((p,), bool), jnp.zeros((p,), I32)), tiles)
+    return blocked, cnt
+
+
+def _tri_any_blocker(scene: Scene, o, d, tmax, inclusive: bool,
+                     tri_axis=None, tri_shards: int = 1):
     """(blocked [P], transparent_crossings_opacity [P]) for shadow/occlusion
     rays against triangles, transparent rule matching the sphere rule
-    (primitives.cl:408-424)."""
+    (primitives.cl:408-424).  Opacity is 0.8^crossings (one 0.8 factor
+    per transparent triangle crossed — computed from the crossing COUNT
+    so scene-parallel shards combine with one psum; same formulation as
+    the Pallas kernel's exp(count * ln 0.8)).  With ``tri_axis`` the
+    blocked flag pmax-reduces and the count psum-reduces."""
     t_count = scene.num_triangles
     p = o.shape[0]
     if t_count == 0:
         return jnp.zeros((p,), bool), jnp.ones((p,), F32)
 
-    transparent = scene.tri_mat.transparent
-
-    def tile_fn(v0, v1, v2, transp, valid_n):
-        hit, ts = pr.intersect_triangle(o[:, None, :], d[:, None, :],
-                                        v0[None], v1[None], v2[None])
-        within = ts <= tmax[:, None] if inclusive else ts < tmax[:, None]
-        rel = hit & within & valid_n[None, :]
-        blocked = jnp.any(rel & ~transp[None, :], axis=1)
-        opac = jnp.prod(jnp.where(rel & transp[None, :], F32(0.8), F32(1.0)),
-                        axis=1)
-        return blocked, opac
-
-    if t_count <= _TRI_TILE:
-        return tile_fn(scene.tri_v0, scene.tri_v1, scene.tri_v2, transparent,
-                       jnp.ones((t_count,), bool))
-
-    pad = (-t_count) % _TRI_TILE
-    v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
-    v1 = jnp.pad(scene.tri_v1, ((0, pad), (0, 0)))
-    v2 = jnp.pad(scene.tri_v2, ((0, pad), (0, 0)))
-    tr = jnp.pad(transparent, (0, pad))
-    n_tiles = (t_count + pad) // _TRI_TILE
-    valid = jnp.arange(n_tiles * _TRI_TILE, dtype=I32) < t_count
-    tiles = (v0.reshape(n_tiles, _TRI_TILE, 3),
-             v1.reshape(n_tiles, _TRI_TILE, 3),
-             v2.reshape(n_tiles, _TRI_TILE, 3),
-             tr.reshape(n_tiles, _TRI_TILE),
-             valid.reshape(n_tiles, _TRI_TILE))
-
-    def body(carry, tile):
-        blocked, opac = carry
-        b, op = tile_fn(*tile)
-        return (blocked | b, opac * op), None
-
-    (blocked, opac), _ = jax.lax.scan(
-        body, (jnp.zeros((p,), bool), jnp.ones((p,), F32)), tiles)
+    if tri_axis is not None and tri_shards > 1:
+        v0, v1, v2, transp, _, n_valid = _tri_shard(scene, tri_axis,
+                                                    tri_shards)
+        blocked, cnt = _tri_blocker_arrays(v0, v1, v2, transp, n_valid,
+                                           o, d, tmax, inclusive)
+        blocked = jax.lax.pmax(blocked.astype(I32), tri_axis) > 0
+        cnt = jax.lax.psum(cnt, tri_axis)
+    else:
+        pad = (-t_count) % _TRI_TILE if t_count > _TRI_TILE else 0
+        v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
+        v1 = jnp.pad(scene.tri_v1, ((0, pad), (0, 0)))
+        v2 = jnp.pad(scene.tri_v2, ((0, pad), (0, 0)))
+        transp = jnp.pad(scene.tri_mat.transparent, (0, pad))
+        blocked, cnt = _tri_blocker_arrays(v0, v1, v2, transp,
+                                           I32(t_count), o, d, tmax,
+                                           inclusive)
+    opac = jnp.power(F32(0.8), cnt.astype(F32))
     return blocked, opac
 
 
-def find_light_hit(scene: Scene, o, d):
+def find_light_hit(scene: Scene, o, d, tri_axis=None, tri_shards=1):
     """findLightIntersection (primitives.cl:262-318), lane-vectorized.
 
     Nearest light hit; occluded if any *non-transparent* sphere or any plane
@@ -252,13 +327,15 @@ def find_light_hit(scene: Scene, o, d):
     hp, tp = _plane_ts(scene, o, d)
     pl_block = jnp.any(hp & (tp <= t[:, None]), axis=1) \
         if scene.num_planes else jnp.zeros((p,), bool)
-    tri_block, _ = _tri_any_blocker(scene, o, d, t, inclusive=True)
+    tri_block, _ = _tri_any_blocker(scene, o, d, t, inclusive=True,
+                                    tri_axis=tri_axis,
+                                    tri_shards=tri_shards)
 
     return any_hit & ~sph_block & ~pl_block & ~tri_block, color
 
 
 def find_solid_hit(scene: Scene, assets: SceneAssets, o, d,
-                   cfg: RenderConfig):
+                   cfg: RenderConfig, tri_axis=None, tri_shards=1):
     """findSolidIntersection (primitives.cl:322-394), lane-vectorized.
 
     Closest hit over spheres then planes then triangles, first-in-order
@@ -286,7 +363,8 @@ def find_solid_hit(scene: Scene, assets: SceneAssets, o, d,
         win = jnp.zeros((p_lanes,), I32)
         t = jnp.full((p_lanes,), INF, F32)
 
-    t_tri, i_tri = _tri_closest(scene, o, d)
+    t_tri, i_tri = _tri_closest(scene, o, d, tri_axis=tri_axis,
+                                tri_shards=tri_shards)
     tri_better = t_tri < t
     t = jnp.where(tri_better, t_tri, t)
     win = jnp.where(tri_better, num_s + num_p + i_tri, win)
@@ -349,7 +427,8 @@ def find_solid_hit(scene: Scene, assets: SceneAssets, o, d,
     return hit, point, normal, mat
 
 
-def test_shadow(scene: Scene, sample, point, cfg: RenderConfig):
+def test_shadow(scene: Scene, sample, point, cfg: RenderConfig,
+                tri_axis=None, tri_shards=1):
     """testShadowPath (primitives.cl:396-442), lane-vectorized.
 
     Shadow feeler from ``point`` toward ``sample`` on the light sphere.
@@ -377,7 +456,9 @@ def test_shadow(scene: Scene, sample, point, cfg: RenderConfig):
     if scene.num_planes:
         blocked |= jnp.any(hp & (tp < tmax[:, None]), axis=1)
     tri_block, tri_opac = _tri_any_blocker(scene, point, sdir, tmax,
-                                           inclusive=False)
+                                           inclusive=False,
+                                           tri_axis=tri_axis,
+                                           tri_shards=tri_shards)
     blocked |= tri_block
     opacity *= tri_opac
     return jnp.where(blocked, 0.0, opacity)
@@ -488,7 +569,8 @@ def _init_state(o, d, pixel_ids, cfg: RenderConfig) -> TraceState:
 
 
 def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
-                st: TraceState) -> TraceState:
+                st: TraceState, tri_axis=None,
+                tri_shards=1) -> TraceState:
     """One DFS node-visit-or-pop per active lane — the body of the
     reference's nested whiles (raytracing.cl:41-191) flattened into a single
     masked step."""
@@ -496,9 +578,10 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
     overdepth = st.dep >= cfg.max_depth          # inner while cond, :42
     do_work = active & ~overdepth
 
-    light_hit, light_color = find_light_hit(scene, st.o, st.d)
+    light_hit, light_color = find_light_hit(scene, st.o, st.d,
+                                            tri_axis, tri_shards)
     solid_hit, point, normal, mat = find_solid_hit(scene, assets, st.o, st.d,
-                                                   cfg)
+                                                   cfg, tri_axis, tri_shards)
     is_light = do_work & light_hit               # raytracing.cl:48-54
     is_miss = do_work & ~light_hit & ~solid_hit  # :61-81
     is_solid = do_work & ~light_hit & solid_hit
@@ -536,7 +619,8 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
                                 lrad * sin_phi * jnp.sin(theta),
                                 lrad * jnp.cos(phi)], axis=-1)
             sample = lo[None, :] + offset
-            soft = soft + test_shadow(scene, sample, point, cfg)
+            soft = soft + test_shadow(scene, sample, point, cfg,
+                                      tri_axis, tri_shards)
         # shadow_samples == 0 -> unshadowed direct lighting (smooth; used by
         # gradient tests and the BASELINE "diffuse only" staged config)
         ssr = (soft / F32(cfg.shadow_samples) if cfg.shadow_samples
@@ -627,21 +711,33 @@ def _trace_step(scene: Scene, assets: SceneAssets, cfg: RenderConfig,
 
 
 def trace_rays(scene: Scene, assets: SceneAssets, o, d, pixel_ids,
-               cfg: RenderConfig) -> jnp.ndarray:
+               cfg: RenderConfig, tri_axis=None,
+               tri_shards: int = 1) -> jnp.ndarray:
     """Trace a batch of rays to completion.  Returns linear rgb [P, 3]
     (unclamped, as accumulated by the reference before the final clamp at
-    raytracing.cl:193)."""
+    raytracing.cl:193).
+
+    ``tri_axis`` / ``tri_shards``: scene parallelism (SURVEY.md §2) —
+    under ``shard_map`` over a mesh axis of that name, each device tests
+    only its 1/tri_shards of the triangles on EVERY query and the
+    min/any/count reductions combine across the axis (pmin/pmax/psum);
+    rays and all non-triangle work are replicated.  Divides the
+    dominant O(rays * triangles) brute-force cost for large meshes; the
+    (tiny) scene tables stay replicated.  Composes with pixel row
+    sharding on a 2D mesh (parallel/shard.py render_sharded_2d)."""
     st = _init_state(o, d, pixel_ids, cfg)
 
     if cfg.loop == "while":
         def cond(s: TraceState):
             return jnp.any(~s.done) & (s.it < cfg.max_iters)
 
-        st = jax.lax.while_loop(cond, lambda s: _trace_step(scene, assets,
-                                                            cfg, s), st)
+        st = jax.lax.while_loop(
+            cond, lambda s: _trace_step(scene, assets, cfg, s, tri_axis,
+                                        tri_shards), st)
     elif cfg.loop == "scan":
         def body(s, _):
-            return _trace_step(scene, assets, cfg, s), None
+            return _trace_step(scene, assets, cfg, s, tri_axis,
+                               tri_shards), None
 
         st, _ = jax.lax.scan(body, st, None,
                              length=cfg.resolved_scan_iters())

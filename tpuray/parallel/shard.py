@@ -93,6 +93,83 @@ def render_sharded(scene: Scene, assets: SceneAssets, basis: PerspectiveBasis,
     return rgb[:n_pix].reshape(cfg.height, cfg.width, 3)
 
 
+TRI_AXIS = "tri"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_scene_parallel(scene: Scene, assets: SceneAssets,
+                          basis: PerspectiveBasis, cfg: RenderConfig,
+                          mesh: Mesh) -> jnp.ndarray:
+    """Scene-parallel forward render: TRIANGLES sharded over ``mesh``.
+
+    The renderer's tensor parallelism (SURVEY.md §2 scene-parallel row):
+    every device traces ALL rays but tests only its 1/N of the
+    triangles on each closest-hit / shadow-feeler query; the per-query
+    reductions combine across the mesh axis (pmin of t + pmin of the
+    winning global id, pmax of blocked, psum of transparent-crossing
+    counts — see kernels/trace.py ``_tri_closest``/``_tri_any_blocker``).
+    The scene tables are tiny and stay replicated; what scene
+    parallelism divides is the dominant O(rays x triangles) brute-force
+    intersection work.  Output is replicated and bit-matches the
+    single-device tracer (the collectives preserve the first-in-order
+    tie rule).  For mesh-heavy scenes this is the multi-chip scaling
+    axis that pixel sharding cannot provide when the image is small.
+    """
+    n = mesh.devices.size
+    origins, dirs = generate_rays(basis, cfg.width, cfg.height)
+    ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(None), P(None), P(None)),
+        out_specs=P(None))
+    def shard_trace(scene_, assets_, o, d, pid):
+        return trace_rays(scene_, assets_, o, d, pid, cfg,
+                          tri_axis=axis, tri_shards=n)
+
+    rgb = shard_trace(scene, assets, origins, dirs, ids)
+    return rgb.reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sharded_2d(scene: Scene, assets: SceneAssets,
+                      basis: PerspectiveBasis, cfg: RenderConfig,
+                      mesh: Mesh) -> jnp.ndarray:
+    """2-D parallel forward render: pixels x triangles over a 2-D mesh.
+
+    ``mesh`` must have axes (AXIS, TRI_AXIS) = ("tiles", "tri"): the
+    pixel dimension shards over "tiles" (zero communication, as in
+    :func:`render_sharded`) and each pixel shard's triangle queries
+    split over "tri" with pmin/pmax/psum reductions riding that axis
+    only.  The DP x TP layout of a renderer: on hardware, lay "tri"
+    along the faster ICI dimension since it carries the per-step
+    collectives.
+    """
+    n_tiles = mesh.shape[AXIS]
+    n_tri = mesh.shape[TRI_AXIS]
+    n_pix = cfg.num_pixels
+    padded = _pad_pixels(n_pix, n_tiles)
+
+    origins, dirs = generate_rays(basis, cfg.width, cfg.height)
+    ids = jnp.arange(n_pix, dtype=jnp.uint32)
+    pad = padded - n_pix
+    origins = jnp.pad(origins, ((0, pad), (0, 0)))
+    dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+    ids = jnp.pad(ids, (0, pad))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS))
+    def shard_trace(scene_, assets_, o, d, pid):
+        return trace_rays(scene_, assets_, o, d, pid, cfg,
+                          tri_axis=TRI_AXIS, tri_shards=n_tri)
+
+    rgb = shard_trace(scene, assets, origins, dirs, ids)
+    return rgb[:n_pix].reshape(cfg.height, cfg.width, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "interpret"))
 def render_sharded_pallas(scene: Scene, assets: SceneAssets,
                           basis: PerspectiveBasis, cfg: RenderConfig,
@@ -275,3 +352,18 @@ def dryrun(n_devices: int) -> None:
         scene, assets, basis, ptarget, cfg, mesh, interpret=interp)
     ploss.block_until_ready()
     assert np.isfinite(float(ploss))
+
+    # scene parallelism (triangles sharded, pmin/pmax/psum reductions)
+    # and the 2-D pixels x triangles mesh
+    from ..meshes import mesh_benchmark_scene
+    tscene = mesh_benchmark_scene(order=0, torus_res=(8, 4)).to_scene()
+    simg = render_scene_parallel(tscene, assets, basis, cfg, mesh)
+    simg.block_until_ready()
+    assert simg.shape == (cfg.height, cfg.width, 3)
+    if n_devices % 2 == 0:
+        mesh2d = Mesh(
+            np.asarray(jax.devices()[:n_devices]).reshape(
+                n_devices // 2, 2), (AXIS, TRI_AXIS))
+        img2d = render_sharded_2d(tscene, assets, basis, cfg, mesh2d)
+        img2d.block_until_ready()
+        assert img2d.shape == (cfg.height, cfg.width, 3)
