@@ -132,10 +132,17 @@ def main(argv=None):
     results["bench"] = run_bench()
     print(json.dumps(results["bench"]), flush=True)
 
-    ok = results["golden"]["psnr_db"] >= 45.0
+    ok = bool(results["golden"]["psnr_db"] >= 45.0)
     results["golden_gate_psnr45"] = ok
+
+    def py(o):
+        """json.dump default: numpy scalars -> python scalars."""
+        if hasattr(o, "item"):
+            return o.item()
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(results, f, indent=1, default=py)
     print(f"wrote {out_path}  (golden gate >=45dB: {ok})")
     if not ok:
         sys.exit(1)

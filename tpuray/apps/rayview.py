@@ -261,6 +261,27 @@ def main(argv=None):
     img, dt = frame()   # compile pass
     print(f"compiled; first frame {dt:.1f}s")
 
+    # one-time event-capacity preflight (the interactive analog of
+    # raypng's checked render): the per-frame loop can't afford the
+    # retry machinery, but the capacity a camera sweep needs is set by
+    # scene + depth, so check the start view once and surface any
+    # degradation loudly instead of silently dropping texels per frame
+    from ..render import _use_pallas, render_from_basis_checked
+    if _use_pallas(scene, cfg):
+        basis0 = perspective_basis(ctl.camera(), cfg.width, cfg.height)
+        _, info = render_from_basis_checked(scene, assets, basis0, cfg)
+        if info["retries"]:
+            # bake the discovered capacity into the frame loop's config
+            # (one recompile now, lossless frames after)
+            cfg = cfg.replace(event_slots=info["event_slots"])
+            print(f"event capacity raised to {info['event_slots']} "
+                  f"slots for this scene/depth (recompiling once)")
+            img, dt = frame()
+        if info["dropped"]:
+            print(f"WARNING: {info['dropped']} texel events dropped "
+                  f"even at {info['event_slots']} slots — frames are "
+                  f"degraded (scene exceeds the 64-slot event cap)")
+
     if args.serve is not None:
         serve(ctl, lambda: frame()[0], cfg.width, cfg.height, args.serve,
               quality=args.jpeg_quality)
