@@ -794,9 +794,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             tn = M[1 * TB:2 * TB, :]
             un = M[2 * TB:3 * TB, :]
             vn = M[3 * TB:4 * TB, :]
-            okv = (jnp.abs(det) > np.float32(1e-7)) & (un * det >= 0) \
-                & (vn * det >= 0) & ((un + vn - det) * det <= 0) \
-                & (tn * det > 0)
+            # the three non-strict sign tests min-combine into a single
+            # compare (the feeler's tri_pair_sum trick)
+            m3 = jnp.minimum(jnp.minimum(un * det, vn * det),
+                             (det - un - vn) * det)
+            okv = (m3 >= 0) & (tn * det > 0) \
+                & (jnp.abs(det) > np.float32(1e-7))
             if min_plane_dist is not None:
                 okv &= jnp.abs(tn) > np.float32(min_plane_dist)
             return jnp.where(okv, tn / jnp.where(det == 0, 1.0, det), INF)
