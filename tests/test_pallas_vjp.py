@@ -96,6 +96,42 @@ class TestReplayForward:
         assert d.mean() < 2e-3, f"replay mismatch: mean|d|={d.mean()}"
         assert d.max() < 1e-1, f"replay mismatch: max|d|={d.max()}"
 
+    def test_replay_streamed_scene_wide_ids(self, monkeypatch):
+        """Scenes above TRI_MAX_TRIANGLES record full-width winner ids
+        in their own plane (records['wid']) instead of the packed
+        15-bit field; the replay must reproduce the streamed kernel's
+        image from them.  Forcing the cap down exercises the path on a
+        small mesh in interpret mode."""
+        import tpuray.kernels.pallas_trace as pt
+        from tpuray.meshes import add_mesh, icosphere
+        from tpuray.scene import PLASTIC, LightSpec, PlaneSpec, SceneSpec
+
+        monkeypatch.setattr(pt, "TRI_MAX_TRIANGLES", 64)
+        monkeypatch.setattr(pt, "TRI_STREAM_TB", 128)
+
+        spec = SceneSpec(
+            planes=[PlaneSpec((0.0, 1.0, 0.0), (0.0, 0.0, 0.0),
+                              PLASTIC.replace(rgb=(0.4, 0.4, 0.4)))],
+            lights=[LightSpec((0.5, 4.0, 0.0), 0.1, 40.0,
+                              (1.0, 1.0, 1.0))])
+        v, f = icosphere(1)   # 80 tris > the patched 64-tri cap
+        add_mesh(spec, v, f, PLASTIC.replace(rgb=(0.9, 0.3, 0.2)),
+                 scale=0.9, offset=(0.3, 1.0, 2.5))
+        scene = spec.to_scene()
+        assets = load_default_assets()
+        cfg = RenderConfig(width=32, height=16, max_depth=2,
+                           engine="pallas", chunk_size=0, loop="scan")
+        basis = perspective_basis(
+            Camera((0.0, 1.0, -3.0), (0.0, 0.0, 1.0), 90.0, 1.0), 32, 16)
+
+        img, records = render_pallas_record(scene, assets, basis, cfg,
+                                            interpret=True)
+        assert "wid" in records
+        rep = replay_render(scene, assets, basis, records, cfg)
+        d = np.abs(np.asarray(img) - np.asarray(rep))
+        assert d.mean() < 2e-3, f"replay mismatch: mean|d|={d.mean()}"
+        assert d.max() < 1e-1, f"replay mismatch: max|d|={d.max()}"
+
 
 class TestReplayBilinear:
     def test_bilinear_replay_reproduces_megakernel_render(self):

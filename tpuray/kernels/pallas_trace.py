@@ -547,6 +547,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
     # numpy scalars: python-level constants folded into the kernel (a
     # jnp scalar would be a captured traced constant, which pallas rejects)
     Krec = cfg.resolved_record_slots() if record else 0
+    wide_ids = record and stream
     bilinear = cfg.filter == "bilinear"
     eps = np.float32(cfg.epsilon)
     through = np.float32(cfg.transparent_through)
@@ -582,7 +583,13 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         if nblk and stream:
             tri_buf_b, tri_buf_attr, tri_sem = outs[-3:]
             outs = outs[:-3]
-        if record:
+        wid_out = None
+        if record and wide_ids:
+            # streamed scenes: winner ids exceed the packed record's 15
+            # bits, so they get their own i32 plane
+            (c_out, ev_idx_out, ev_w_out, over_out, rec_out, ssr_out,
+             wid_out, stk_f, stk_i, stk_p) = outs
+        elif record:
             (c_out, ev_idx_out, ev_w_out, over_out, rec_out, ssr_out,
              stk_f, stk_i, stk_p) = outs
         else:
@@ -630,6 +637,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             rec_out[:] = jnp.full((Krec * SUBLANES, LANES), EV_NONE)
             ssr_out[:] = jnp.zeros((nl * Krec * SUBLANES, LANES), F32)
             stk_p[:] = jnp.zeros((D * SUBLANES, LANES), I32)
+            if wide_ids:
+                wid_out[:] = jnp.zeros((Krec * SUBLANES, LANES), I32)
 
         # row-of-stack -> level label, for masked level-indexed access
         lev_row = jax.lax.broadcasted_iota(
@@ -1462,13 +1471,19 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     is_light, np.int32(64) + lwin,
                     jnp.where(is_miss, np.int32(127), solid_code))
                 widv = jnp.where(tri_better, tri_wid, izero)
-                packed = codev | (pcode << np.int32(8)) \
-                    | (widv << np.int32(16))
+                packed = codev | (pcode << np.int32(8))
+                if not wide_ids:
+                    # VMEM-resident scenes: 15-bit winner id rides the
+                    # packed word (TRI_MAX_TRIANGLES = 2^15)
+                    packed = packed | (widv << np.int32(16))
 
                 @pl.when(jnp.any(can_rec))
                 def _write_rec():
                     condr = tile_r(can_rec) & (tile_r(node_slot) == levR_row)
                     rec_out[:] = jnp.where(condr, tile_r(packed), rec_out[:])
+                    if wide_ids:
+                        wid_out[:] = jnp.where(condr, tile_r(widv),
+                                               wid_out[:])
                     for li in range(nl):
                         sl = slice(li * Krec * SUBLANES,
                                    (li + 1) * Krec * SUBLANES)
@@ -1672,12 +1687,6 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
         raise ValueError(
             f"{scene.num_triangles} triangles exceed the streamed-path "
             f"cap ({TRI_STREAM_MAX_TRIANGLES}); use the XLA tracer")
-    if stream and record:
-        raise ValueError(
-            "record mode (the replay VJP) packs winner triangle ids into "
-            "15 bits and is limited to scenes <= "
-            f"{TRI_MAX_TRIANGLES} triangles; use the XLA tracer's AD path "
-            "for larger meshes")
 
     gx = -(-width // LANES)
     gy = -(-height // SUBLANES)
@@ -1729,6 +1738,10 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
     if record:
         specs.append(blk(Krec * SUBLANES, jnp.int32))
         specs.append(blk(nl * Krec * SUBLANES, jnp.float32))
+        if stream:
+            # streamed scenes: full-width winner-id plane (ids exceed
+            # the packed record's 15 bits)
+            specs.append(blk(Krec * SUBLANES, jnp.int32))
 
     scratch = [
         # per-lane ray stacks (11 f32 planes + depth i32), VMEM-resident
@@ -1758,7 +1771,9 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
     )(*inputs)
     c_blk, ev_idx, ev_w, over = outs[:4]
     if record:
-        return c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, outs[4], outs[5]
+        wid = outs[6] if stream else None
+        return (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, outs[4],
+                outs[5], wid)
     return c_blk, ev_idx, ev_w, over, atlas, gx, gy, K
 
 
@@ -1988,8 +2003,8 @@ def render_pallas_record(scene: Scene, assets: SceneAssets,
         replay lost subtree contributions; raise cfg.record_slots).
     """
     width, height = cfg.width, cfg.height
-    (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, rec,
-     ssr) = _pallas_forward(scene, assets, basis, cfg, interpret, row0,
+    (c_blk, ev_idx, ev_w, over, atlas, gx, gy, K, rec, ssr,
+     wid) = _pallas_forward(scene, assets, basis, cfg, interpret, row0,
                             record=True)
     img = _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
                           width, height)
@@ -2010,6 +2025,9 @@ def render_pallas_record(scene: Scene, assets: SceneAssets,
     records = {"rec": rec_flat, "ssr": ssr_flat,
                "ev_idx": unblock_planes(ev_idx, K),
                "max_nodes": max_nodes}
+    if wid is not None:
+        # streamed scenes: full-width winner ids in their own plane
+        records["wid"] = unblock_planes(wid, Krec)
     return img, records
 
 
@@ -2057,6 +2075,7 @@ def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     triangle meshes (in-kernel MXU blocks; VMEM-resident tables up to
     TRI_MAX_TRIANGLES, HBM-streamed double-buffered blocks beyond) — up
     to TRI_STREAM_MAX_TRIANGLES; beyond that the XLA tracer takes
-    over.  Record mode (the replay VJP) is additionally capped at
-    TRI_MAX_TRIANGLES (15-bit winner ids in the node records)."""
+    over.  Record mode (the replay VJP) works on both: VMEM-resident
+    scenes pack 15-bit winner ids into the node records; streamed
+    scenes record full-width ids in their own plane."""
     return scene.num_triangles <= TRI_STREAM_MAX_TRIANGLES

@@ -146,6 +146,9 @@ def replay_render(scene: Scene, assets: SceneAssets,
     rec = records["rec"]          # [Krec, n_pix] i32
     ssr = records["ssr"]          # [Krec, nl, n_pix] f32
     evi = records.get("ev_idx")   # [K, n_pix] i32 recorded texel picks
+    # streamed (> TRI_MAX_TRIANGLES) scenes record full-width winner ids
+    # in their own plane; VMEM-resident scenes pack 15 bits into rec
+    wid_plane = records.get("wid")
     Krec = rec.shape[0]
     Kev = evi.shape[0] if evi is not None else 0
 
@@ -182,7 +185,8 @@ def replay_render(scene: Scene, assets: SceneAssets,
     for s in range(Krec):
         code = rec[s] & np.int32(0xFF)
         pbyte = (rec[s] >> np.int32(8)) & np.int32(0xFF)
-        wid = (rec[s] >> np.int32(16)) & np.int32(0x7FFF)
+        wid = (wid_plane[s] if wid_plane is not None
+               else (rec[s] >> np.int32(16)) & np.int32(0x7FFF))
         written = rec[s] >= 0
 
         if s == 0:
