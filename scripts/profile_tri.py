@@ -89,6 +89,15 @@ def main(argv=None):
         run("d1noshadow", base_cfg.replace(max_depth=1, shadow_samples=0))
     if "s1" in variants:
         run("s1", base_cfg.replace(shadow_samples=1))
+    if "notri" in variants:
+        # cost floor: the same scene with the mesh removed (spheres /
+        # planes / lights / DFS / resolve machinery only)
+        from tpuray.meshes import mesh_benchmark_scene
+        spec0 = mesh_benchmark_scene(args.order)
+        spec0.triangles = []
+        old, scene = scene, spec0.to_scene()
+        run("notri", base_cfg)
+        scene = old
     if "nocull" in variants:
         run("nocull", base_cfg, cull=False)
 
