@@ -348,7 +348,7 @@ def build_tri_blocks(scene: Scene, tb: int = None) -> "TriBlocks | None":
     # sign tests are scale-invariant, but it makes tn the SIGNED PLANE
     # DISTANCE of the ray origin times the direction cosine — the
     # feeler's bf16 self/adjacent-shadow guard keys on that (see
-    # tri_pair_ts min_plane_dist) — and conditions det as a direction
+    # tri_pair_sum's plane-distance guard) — and conditions det as a direction
     # cosine so the 1e-7 degeneracy threshold means the same thing for
     # every triangle size
     inv_n = 1.0 / xp.maximum(
@@ -521,7 +521,7 @@ def _plane_basis(nx, ny, nz):
 def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                  width: int, height: int, gx: int, nblk: int = 0,
                  record: bool = False, stream: bool = False,
-                 tb: int = None):
+                 tb: int = TRI_TB):
     """Builds the tile kernel closure.  All loop bounds / offsets static.
 
     v2 structure (after profiling the v1 kernel at ~116 us/DFS-step):
@@ -716,7 +716,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         # (primitives.py:intersect_triangle) up to matmul rounding; same
         # brute-force no-BVH model as the reference's closest-hit loop
         # (primitives.cl:322-394), generalized to triangles.
-        TB = (TRI_TB if tb is None else tb)
+        TB = tb
         A_ROWS = TRI_ATTR_ROWS
 
         # ---- triangle-table access: VMEM-resident vs HBM-streamed ----
@@ -778,27 +778,21 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 [o1, o2, o3, d1, d2, d3, c1, c2, c3,
                  jnp.ones((1, LANES), F32)], axis=0)
 
-        def tri_pair_ts(blk, feat, precision=_TRI_DOT_PRECISION,
-                        min_plane_dist=None):
-            """[TB, N] per-pair hit t for block b (INF = no hit).
+        def tri_pair_ts(blk, feat):
+            """[TB, N] per-pair hit t for a loaded block (INF = no hit).
 
-            precision=HIGHEST (default): the TPU MXU multiplies f32
+            Runs at HIGHEST precision: the TPU MXU multiplies f32
             inputs in bfloat16 by default, which costs ~3 decimal digits
             on det/t — enough to flip edge sign tests and admit near-zero
             self-hit t values whose degenerate hit points NaN the
             view-vector normalize downstream.  Full-f32 passes keep the
-            pair math at XLA-tracer accuracy.  Callers that only need a
-            boolean any-hit (shadow feelers) may lower it and pass
-            ``min_plane_dist``: pairs whose plane passes within that
-            world-space distance of the ray origin are rejected — with
-            b_lhs rows normalized by |n| (build_tri_blocks), |tn| =
-            |t * (d.n_hat)| is exactly that distance for unit d — which
-            suppresses the bf16-noise self/adjacent-face shadows that
-            the eps offset cannot."""
+            pair math at XLA-tracer accuracy.  (Shadow feelers, which
+            only need a boolean any-hit, use the single-pass bf16
+            tri_pair_sum with its plane-distance guard instead.)"""
             M = jax.lax.dot_general(
                 blk, feat, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,
-                precision=precision)                        # [4*TB, N]
+                precision=_TRI_DOT_PRECISION)               # [4*TB, N]
             det = M[0 * TB:1 * TB, :]
             tn = M[1 * TB:2 * TB, :]
             un = M[2 * TB:3 * TB, :]
@@ -809,8 +803,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                              (det - un - vn) * det)
             okv = (m3 >= 0) & (tn * det > 0) \
                 & (jnp.abs(det) > np.float32(1e-7))
-            if min_plane_dist is not None:
-                okv &= jnp.abs(tn) > np.float32(min_plane_dist)
             return jnp.where(okv, tn / jnp.where(det == 0, 1.0, det), INF)
 
         def tri_pair_sum(blk, feat, tmax, wop):
@@ -819,10 +811,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             Division-free Moller-Trumbore validity, min-combined so the
             five sign tests cost 3 mins + 2 compares instead of five
             compare+and chains, then ONE weighted reduction: opaque
-            occluders weigh 256, transparent ones 1, so the caller
-            recovers any-opaque-hit (sum >= 256) and the transparent
-            count (sum mod 256) from a single [1, N] row (TB <= 128 hits
-            per block keeps both fields exact).  The reference's source-
+            occluders weigh W = 2*TB, transparent ones 1, so the caller
+            recovers any-opaque-hit (sum >= W) and the transparent
+            count (sum mod W) from a single [1, N] row — at most TB < W
+            transparent hits per block keeps both fields exact for any
+            block size (the streamed path runs TB = 512), and the worst
+            sum TB*(2*TB+1) stays far below f32's 2^24 integer range.  The reference's source-
             triangle self-shadow risk is handled by the plane-distance
             guard alone: b_lhs rows are normalized by |n| so |tn| is the
             signed plane distance of the (eps-offset) origin — the
@@ -1028,7 +1022,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     bl_c, cnt_c = c                         # [S, Q*L]
                     blk, attr_blk = tri_load(b, slot)
                     tr = tri_transp_col(attr_blk)
-                    wop = jnp.where(tr > 0.5, 1.0, np.float32(256.0))
+                    wop = jnp.where(tr > 0.5, 1.0,
+                                    np.float32(2.0 * TB))
 
                     def srow(s):
                         sums = []
@@ -1039,9 +1034,9 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                                 blk, featQ_s[s][:, sl],
                                 tmaxQ[s:s + 1, sl], wop))
                         sv = jnp.concatenate(sums, axis=1)  # [1, Q*L]
-                        bl_s = (sv >= 256.0).astype(F32)
-                        cn_s = sv - 256.0 * jnp.floor(
-                            sv * np.float32(1.0 / 256.0))
+                        wtb = np.float32(2.0 * TB)
+                        bl_s = (sv >= wtb).astype(F32)
+                        cn_s = sv - wtb * jnp.floor(sv / wtb)
                         return bl_s, cn_s
 
                     bl_rows, cnt_rows = [], []

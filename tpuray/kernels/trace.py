@@ -133,12 +133,17 @@ def _tri_shard(scene: Scene, tri_axis: str, tri_shards: int):
     scene-parallel row: shard primitives, psum the min-reductions)."""
     t_count = scene.num_triangles
     ts = -(-t_count // tri_shards)
-    ts = -(-ts // _TRI_TILE) * _TRI_TILE          # tile-aligned shard size
+    if ts > _TRI_TILE:
+        # tile-align big shards so _tri_*_arrays' scan reshape divides;
+        # small shards stay fine-grained — rounding them up to a whole
+        # 512 tile would idle most devices on small meshes (and make the
+        # 8-shard tests exercise a degenerate one-device layout)
+        ts = -(-ts // _TRI_TILE) * _TRI_TILE
     pad = tri_shards * ts - t_count
     ai = jax.lax.axis_index(tri_axis)
     gid0 = ai * I32(ts)
 
-    def sl(a, fill=0.0):
+    def sl(a):
         widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
         return jax.lax.dynamic_slice_in_dim(
             jnp.pad(a, widths), gid0, ts, 0)

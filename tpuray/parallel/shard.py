@@ -110,15 +110,22 @@ def render_scene_parallel(scene: Scene, assets: SceneAssets,
     counts — see kernels/trace.py ``_tri_closest``/``_tri_any_blocker``).
     The scene tables are tiny and stay replicated; what scene
     parallelism divides is the dominant O(rays x triangles) brute-force
-    intersection work.  Output is replicated and bit-matches the
-    single-device tracer (the collectives preserve the first-in-order
-    tie rule).  For mesh-heavy scenes this is the multi-chip scaling
-    axis that pixel sharding cannot provide when the image is small.
+    intersection work.  Output is replicated and matches the
+    single-device tracer up to one-ulp closest-hit ties (per-shard
+    padding can change XLA's rounding on the pair math; the collectives
+    preserve the first-in-order rule for exactly-equal t).  For
+    mesh-heavy scenes this is the multi-chip scaling axis that pixel
+    sharding cannot provide when the image is small.
     """
-    n = mesh.devices.size
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"render_scene_parallel shards over a 1-D mesh; got axes "
+            f"{mesh.axis_names} — use render_sharded_2d for pixels x "
+            f"triangles")
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
     origins, dirs = generate_rays(basis, cfg.width, cfg.height)
     ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
-    axis = mesh.axis_names[0]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
