@@ -260,6 +260,11 @@ TRI_FEELER_QCH = int(os.environ.get("TPURAY_TRI_QCH", "3"))
 # block sweeps branch once per block on a whole-tile cull, then run all
 # SUBLANES/CGROUP matmuls back-to-back (8 measured best at TB=128)
 TRI_CGROUP = int(os.environ.get("TPURAY_TRI_CGROUP", "8"))
+# sublane rows per feeler branch inside a hit block: the scalar sync
+# per cond, not the pair matmuls, dominated at per-sublane granularity
+# (measured: FG=1 36.7 ms, FG=2 33.8, FG=4 32.7 on stage 5; FG >= 8
+# explodes Mosaic compile time).  Must divide SUBLANES
+TRI_FGROUP = int(os.environ.get("TPURAY_TRI_FGROUP", "4"))
 # winner-attribute one-hot pick precision (HIGHEST: normals/materials
 # must not round to bf16; env knob exists to measure its cost)
 _TRI_PICK_PRECISION = (jax.lax.Precision.DEFAULT
@@ -1024,36 +1029,44 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     tr = tri_transp_col(attr_blk)
                     wop = jnp.where(tr > 0.5, 1.0,
                                     np.float32(2.0 * TB))
+                    FG = TRI_FGROUP
 
-                    def srow(s):
-                        sums = []
-                        for q0 in range(0, Q, TRI_FEELER_QCH):
-                            q1 = min(q0 + TRI_FEELER_QCH, Q)
-                            sl = slice(q0 * LANES, q1 * LANES)
-                            sums.append(tri_pair_sum(
-                                blk, featQ_s[s][:, sl],
-                                tmaxQ[s:s + 1, sl], wop))
-                        sv = jnp.concatenate(sums, axis=1)  # [1, Q*L]
+                    def sgroup(g):
+                        """(bl, cn) [FG, Q*L] for sublanes [g, g+FG) —
+                        per-sublane pair matmuls back to back under ONE
+                        branch (the scalar sync per cond, not the
+                        matmul, is what grouping amortizes)."""
+                        rows = []
+                        for i in range(FG):
+                            s = g + i
+                            sums = []
+                            for q0 in range(0, Q, TRI_FEELER_QCH):
+                                q1 = min(q0 + TRI_FEELER_QCH, Q)
+                                sl = slice(q0 * LANES, q1 * LANES)
+                                sums.append(tri_pair_sum(
+                                    blk, featQ_s[s][:, sl],
+                                    tmaxQ[s:s + 1, sl], wop))
+                            rows.append(jnp.concatenate(sums, axis=1))
+                        sv = jnp.concatenate(rows, axis=0)   # [FG, Q*L]
                         wtb = np.float32(2.0 * TB)
-                        bl_s = (sv >= wtb).astype(F32)
-                        cn_s = sv - wtb * jnp.floor(sv / wtb)
-                        return bl_s, cn_s
+                        return ((sv >= wtb).astype(F32),
+                                sv - wtb * jnp.floor(sv / wtb))
 
                     bl_rows, cnt_rows = [], []
-                    for s in range(SUBLANES):
-                        blc_s = bl_c[s:s + 1, :]
-                        cnt_s = cnt_c[s:s + 1, :]
+                    for g in range(0, SUBLANES, FG):
+                        blc_g = bl_c[g:g + FG, :]
+                        cnt_g = cnt_c[g:g + FG, :]
                         if _TRI_CULL:
-                            bl_s, cn_s = jax.lax.cond(
-                                jnp.any(mask[s:s + 1, :]),
-                                lambda _, s=s: srow(s),
-                                lambda _: (jnp.zeros((1, Q * LANES), F32),
-                                           jnp.zeros((1, Q * LANES), F32)),
+                            bl_g, cn_g = jax.lax.cond(
+                                jnp.any(mask[g:g + FG, :]),
+                                lambda _, g=g: sgroup(g),
+                                lambda _: (jnp.zeros((FG, Q * LANES), F32),
+                                           jnp.zeros((FG, Q * LANES), F32)),
                                 0)
                         else:
-                            bl_s, cn_s = srow(s)
-                        bl_rows.append(jnp.maximum(blc_s, bl_s))
-                        cnt_rows.append(cnt_s + cn_s)
+                            bl_g, cn_g = sgroup(g)
+                        bl_rows.append(jnp.maximum(blc_g, bl_g))
+                        cnt_rows.append(cnt_g + cn_g)
                     return (jnp.concatenate(bl_rows, axis=0),
                             jnp.concatenate(cnt_rows, axis=0))
 
