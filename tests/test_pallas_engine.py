@@ -304,6 +304,20 @@ class TestTriBlocks:
         # lo <= hi and no block spans the whole scene on every axis
         assert (aabb[:, :3] <= aabb[:, 3:] + 1e-6).all()
 
+    def test_superblock_aabbs_cover_blocks(self):
+        from tpuray.kernels.pallas_trace import TRI_SB, build_tri_blocks
+        from tpuray.meshes import mesh_benchmark_scene
+        scene = mesh_benchmark_scene(order=3).to_scene()
+        tri = build_tri_blocks(scene)
+        assert tri.nsb == -(-tri.nblk // TRI_SB)
+        aabb = np.asarray(tri.aabb).reshape(tri.nblk, 6)
+        sb = np.asarray(tri.sb_aabb).reshape(tri.nsb, 6)
+        assert np.isfinite(sb).all()   # tail pad must not leak +/-inf
+        for s in range(tri.nsb):
+            grp = aabb[s * TRI_SB:(s + 1) * TRI_SB]
+            assert (sb[s, :3] <= grp[:, :3].min(0) + 1e-6).all()
+            assert (sb[s, 3:] >= grp[:, 3:].max(0) - 1e-6).all()
+
 
 @tpu_only
 class TestTriangleEngine:

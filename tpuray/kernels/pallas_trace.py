@@ -265,6 +265,14 @@ TRI_CGROUP = int(os.environ.get("TPURAY_TRI_CGROUP", "8"))
 # (measured: FG=1 36.7 ms, FG=2 33.8, FG=4 32.7 on stage 5; FG >= 8
 # explodes Mosaic compile time).  Must divide SUBLANES
 TRI_FGROUP = int(os.environ.get("TPURAY_TRI_FGROUP", "4"))
+# blocks per superblock for the two-level AABB cull: one union-AABB slab
+# test rejects TRI_SB blocks at once, so miss-heavy tiles (sky, geometry
+# far off-axis) pay nblk/TRI_SB mask computes instead of nblk — the
+# per-block mask arithmetic itself, not just the cond sync, is a real
+# cost at [S, Q*L] feeler width.  Morton-sorted blocks keep the unions
+# tight.  Applied on the VMEM-resident path only (the streamed path's
+# double-buffered DMA chain must visit every block in order)
+TRI_SB = int(os.environ.get("TPURAY_TRI_SB", "8"))
 # winner-attribute one-hot pick precision (HIGHEST: normals/materials
 # must not round to bf16; env knob exists to measure its cost)
 _TRI_PICK_PRECISION = (jax.lax.Precision.DEFAULT
@@ -278,6 +286,10 @@ class TriBlocks(NamedTuple):
     attr: jnp.ndarray    # [TRI_ATTR_ROWS, nblk*TB] winner-extraction table
     aabb: jnp.ndarray    # [nblk*6] per-block bounds (lo3 ++ hi3), SMEM
     nblk: int
+    # two-level cull: union bounds of each TRI_SB-block superblock,
+    # [nsb*6], appended after aabb in the kernel's SMEM table
+    sb_aabb: jnp.ndarray = None
+    nsb: int = 0
 
 
 def _mat_columns(mat, concrete: bool = False) -> list:
@@ -390,11 +402,22 @@ def build_tri_blocks(scene: Scene, tb: int = None) -> "TriBlocks | None":
     hi = xp.maximum(xp.maximum(v0e, v1e), v2e) \
         .reshape(nblk, tb, 3).max(axis=1)
     aabb = xp.concatenate([lo, hi], axis=1).reshape(-1)      # [nblk*6]
+    # superblock union bounds (two-level cull); pad with +/-INF so the
+    # tail union ignores missing blocks
+    nsb = -(-nblk // TRI_SB)
+    sb_pad = nsb * TRI_SB - nblk
+    lo_p = xp.concatenate([lo, xp.full((sb_pad, 3), np.float32(np.inf))])
+    hi_p = xp.concatenate([hi, xp.full((sb_pad, 3), np.float32(-np.inf))])
+    sb_lo = lo_p.reshape(nsb, TRI_SB, 3).min(axis=1)
+    sb_hi = hi_p.reshape(nsb, TRI_SB, 3).max(axis=1)
+    sb_aabb = xp.concatenate([sb_lo, sb_hi], axis=1).reshape(-1)
     if concrete:
         b_lhs = b_lhs.astype(np.float32)
         attr = attr.astype(np.float32)
         aabb = aabb.astype(np.float32)
-    return TriBlocks(b_lhs=b_lhs, attr=attr, aabb=aabb, nblk=nblk)
+        sb_aabb = sb_aabb.astype(np.float32)
+    return TriBlocks(b_lhs=b_lhs, attr=attr, aabb=aabb, nblk=nblk,
+                     sb_aabb=sb_aabb, nsb=nsb)
 
 
 # ---------------------------------------------------------------------------
@@ -849,37 +872,78 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             return jnp.transpose(
                 attr_blk[TRI_TRANSP_ROW:TRI_TRANSP_ROW + 1, :])
 
-        def tri_cull_tile(b, o3, d3, act, bound):
-            """Scalar: does ANY active lane's [0, bound] segment hit block
-            b's AABB?  The slab test runs vectorized over the whole
-            [S, L] tile (or [S, Q*L] feeler query batch) — per-lane
-            exact, one scalar reduce + one branch per BLOCK instead of
-            one per (sublane, block): the cond/scalar-sync machinery,
-            not the pair matmuls, dominated mesh sweeps at per-sublane
-            granularity (measured on stage 5: per-sublane conds 52.5 ms,
-            whole-tile conds + grouped matmuls ~30 ms; doubling blocks
-            via TB=256 under per-sublane conds REGRESSED to 65 ms).
-            Near-parallel axes get a signed tiny direction, which only
-            widens the interval (conservative)."""
-            return jnp.any(tri_cull_mask(b, o3, d3, act, bound))
+        def tri_inv3(d3):
+            """Per-axis safe reciprocal of a direction triple, hoisted
+            out of the per-block slab tests (both sweeps' directions are
+            sweep-invariant, so the VPU divide runs once per sweep, not
+            once per block).  Near-parallel axes get a tiny direction,
+            which only widens the interval (conservative)."""
+            return tuple(
+                1.0 / jnp.where(jnp.abs(d3[k]) < np.float32(1e-12),
+                                np.float32(1e-12), d3[k])
+                for k in range(3))
 
-        def tri_cull_mask(b, o3, d3, act, bound):
-            """Per-lane slab-test hit mask vs block b's AABB (the
-            vectorized body behind tri_cull_tile; feelers also reuse its
-            rows for per-sublane skipping inside a hit block)."""
+        def tri_cull_tile(off, o3, inv3, act, bound):
+            """Scalar: does ANY active lane's [0, bound] segment hit the
+            AABB at SMEM element offset ``off``?  The slab test runs
+            vectorized over the whole [S, L] tile (or [S, Q*L] feeler
+            query batch) — per-lane exact, one scalar reduce + one
+            branch per BLOCK instead of one per (sublane, block): the
+            cond/scalar-sync machinery, not the pair matmuls, dominated
+            mesh sweeps at per-sublane granularity (measured on stage 5:
+            per-sublane conds 52.5 ms, whole-tile conds + grouped
+            matmuls ~30 ms; doubling blocks via TB=256 under
+            per-sublane conds REGRESSED to 65 ms)."""
+            return jnp.any(tri_cull_mask(off, o3, inv3, act, bound))
+
+        def tri_cull_mask(off, o3, inv3, act, bound):
+            """Per-lane slab-test hit mask vs the AABB at SMEM element
+            offset ``off`` (block b -> b*6, superblock s -> nblk*6 +
+            s*6; the superblock unions are appended after the per-block
+            entries — build_tri_blocks).  Feelers also reuse the mask
+            rows for per-sublane skipping inside a hit block."""
             tmn = jnp.zeros_like(bound)
             tmx = bound
             for k in range(3):
-                lo = tri_aabb[b * 6 + k]
-                hi = tri_aabb[b * 6 + 3 + k]
-                safe = jnp.where(jnp.abs(d3[k]) < np.float32(1e-12),
-                                 np.float32(1e-12), d3[k])
-                inv = 1.0 / safe
-                t0 = (lo - o3[k]) * inv
-                t1 = (hi - o3[k]) * inv
+                lo = tri_aabb[off + k]
+                hi = tri_aabb[off + 3 + k]
+                t0 = (lo - o3[k]) * inv3[k]
+                t1 = (hi - o3[k]) * inv3[k]
                 tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
                 tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
             return (tmx >= tmn) & (tmx >= 0) & act
+
+        # two-level cull applies off the streamed path (its DMA chain
+        # must visit every block in order) when there is more than one
+        # superblock to skip
+        nsb = -(-nblk // TRI_SB) if nblk else 0
+        use_sb = _TRI_CULL and not stream and nblk > TRI_SB
+
+        def tri_sweep(body, init, o3, inv3, act_of, bound_of):
+            """Run a per-block sweep ``body`` over all nblk blocks,
+            either flat or under the superblock cull: one union-AABB
+            slab test per TRI_SB blocks; a miss skips those blocks'
+            masks, conds and (on hit paths) matmuls entirely.
+            ``act_of(carry)`` / ``bound_of(carry)`` recompute the
+            active-lane mask and segment bound at superblock
+            granularity (both only shrink, so testing them one level
+            up is conservative)."""
+            if not use_sb:
+                return jax.lax.fori_loop(0, nblk, body, init)
+
+            def sb_body(sb, carry):
+                hit = jnp.any(tri_cull_mask(
+                    np.int32(nblk * 6) + sb * np.int32(6),
+                    o3, inv3, act_of(carry), bound_of(carry)))
+                b0 = sb * np.int32(TRI_SB)
+                return jax.lax.cond(
+                    hit,
+                    lambda c: jax.lax.fori_loop(
+                        b0, jnp.minimum(b0 + np.int32(TRI_SB),
+                                        np.int32(nblk)), body, c),
+                    lambda c: c, carry)
+
+            return jax.lax.fori_loop(0, nsb, sb_body, init)
 
         def tri_closest(px, py, pz, qx, qy, qz, act, lt, bt):
             """Closest triangle + winner attrs + light-occlusion, whole tile.
@@ -900,11 +964,15 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             featg = [jnp.concatenate(feats[g:g + G], axis=1)
                      for g in range(0, SUBLANES, G)]
             lt_seg = jnp.where(lt < INF, lt, 0.0)
+            inv3 = tri_inv3((qx, qy, qz))
             A = TRI_ATTR_ROWS
+
+            def cbound(carry):
+                return jnp.maximum(lt_seg, jnp.minimum(bt, carry[0]))
 
             def body(b, carry):
                 slot = tri_sync(b)
-                bound = jnp.maximum(lt_seg, jnp.minimum(bt, carry[0]))
+                bound = cbound(carry)
 
                 def hit_branch(c):
                     tb_c, pick_c, lb_c, wid_c = c
@@ -950,8 +1018,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
                 if _TRI_CULL:
                     return jax.lax.cond(
-                        tri_cull_tile(b, (px, py, pz), (qx, qy, qz), act,
-                                      bound),
+                        tri_cull_tile(b * np.int32(6), (px, py, pz), inv3,
+                                      act, bound),
                         hit_branch, lambda c: c, carry)
                 return hit_branch(carry)
 
@@ -960,7 +1028,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     jnp.zeros((SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), I32))
             tri_stream_start(0)
-            t_tri, pick, lb, wid = jax.lax.fori_loop(0, nblk, body, init)
+            t_tri, pick, lb, wid = tri_sweep(
+                body, init, (px, py, pz), inv3, lambda c: act, cbound)
             lb_tri = lb > 0.5
             attrs = [jnp.concatenate([pick[s * A + j:s * A + j + 1, :]
                                       for s in range(SUBLANES)], axis=0)
@@ -1009,6 +1078,10 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             oQ = tuple(jnp.concatenate([v] * Q, axis=1)
                        for v in (px, py, pz))
             actQ = jnp.concatenate([act] * Q, axis=1)
+            invQ = tri_inv3(dQ)
+
+            def fact(carry):
+                return actQ & (carry[0] < 0.5)
 
             def body(b, carry):
                 # drop lanes already known blocked, so shadowed regions
@@ -1019,9 +1092,10 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 # matmul skipping pays for its 16 small branches
                 # (measured: tile-cond-only regressed 55->65 ms on
                 # stage 5; the hybrid is the fastest of the three)
-                act_dyn = actQ & (carry[0] < 0.5)
+                act_dyn = fact(carry)
                 slot = tri_sync(b)
-                mask = tri_cull_mask(b, oQ, dQ, act_dyn, tmaxQ)
+                mask = tri_cull_mask(b * np.int32(6), oQ, invQ, act_dyn,
+                                     tmaxQ)
 
                 def hit_branch(c):
                     bl_c, cnt_c = c                         # [S, Q*L]
@@ -1078,7 +1152,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             init = (jnp.zeros((SUBLANES, Q * LANES), F32),
                     jnp.zeros((SUBLANES, Q * LANES), F32))
             tri_stream_start(0)
-            bl_s, cnt_s = jax.lax.fori_loop(0, nblk, body, init)
+            bl_s, cnt_s = tri_sweep(body, init, oQ, invQ, fact,
+                                    lambda c: tmaxQ)
             lnt = np.float32(np.log(cfg.transparent_through))
             blocked = [bl_s[:, q * LANES:(q + 1) * LANES] > 0.5
                        for q in range(Q)]
@@ -1708,6 +1783,12 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
               atlas.sky_h, atlas.sky_w), cfg, width, height, gx,
         nblk=tri.nblk if tri else 0, record=record, stream=stream, tb=tb)
 
+    if tri:
+        # SMEM AABB table: per-block entries then the superblock unions
+        # (tri_cull_mask indexes superblock s at nblk*6 + s*6)
+        _cat = (np.concatenate if isinstance(tri.aabb, np.ndarray)
+                else jnp.concatenate)
+        aabb_smem = _cat([tri.aabb, tri.sb_aabb])
     if tri and stream:
         # contiguous per-block layout so each DMA is one dense copy
         nb = tri.nblk
@@ -1718,13 +1799,13 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
             [b3, np.zeros((nb, 6, 4 * tb), np.float32)], axis=1)             if isinstance(b3, np.ndarray) else jnp.concatenate(
                 [b3, jnp.zeros((nb, 6, 4 * tb), F32)], axis=1)
         a3 = tri.attr.reshape(TRI_ATTR_ROWS, nb, tb).transpose(1, 0, 2)
-        inputs = (uni, tri.aabb, b3, a3)
+        inputs = (uni, aabb_smem, b3, a3)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY)]
     elif tri:
-        inputs = (uni, tri.aabb, tri.b_lhs, tri.attr)
+        inputs = (uni, aabb_smem, tri.b_lhs, tri.attr)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -24,7 +24,9 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        _load_failed = True
+        # NOT sticky: the library may be built later in the same process
+        # (e.g. tests' `make -C tpuray/native` fixture runs after earlier
+        # tests already probed and fell back to the Python codecs)
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
