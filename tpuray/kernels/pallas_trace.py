@@ -243,8 +243,14 @@ TRI_STREAM_TB = int(os.environ.get("TPURAY_TRI_STREAM_TB", "512"))
 TRI_STREAM_MAX_BLOCKS = 1024
 TRI_STREAM_MAX_TRIANGLES = TRI_STREAM_TB * TRI_STREAM_MAX_BLOCKS
 _TRI_CULL = True      # debug toggle: False = brute-force every block
-# MXU passes for the Moller-Trumbore bilinear forms (see tri_pair_ts)
-_TRI_DOT_PRECISION = jax.lax.Precision.HIGHEST
+# MXU passes for the Moller-Trumbore bilinear forms (see tri_pair_ts):
+# highest = 6-pass f32 emulation, high = 3-pass (~f32 mantissa via
+# bf16x3 — halves the closest-sweep matmul cost), default = 1-pass bf16
+_TRI_DOT_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("TPURAY_TRI_T_PREC", "highest")]
 # shadow feelers only need a boolean any-hit, not an accurate t, so
 # their pair matmuls run single-pass bf16 (~2x whole-render speedup on
 # mesh scenes).  bf16's absolute tn noise is ~0.4% of the |o|,|v0|
@@ -1037,7 +1043,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             return t_tri, attrs, lb_tri, wid
 
 
-        def tri_feeler_multi(px, py, pz, queries, act):
+        def tri_feeler_multi(px, py, pz, queries, act, pre_bl=None):
             """ALL shadow-feeler queries of a shading step in ONE block
             sweep — the triangle extension of testShadowPath
             (primitives.cl:396-442), batched over the nl * n_samples
@@ -1149,8 +1155,17 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                                         lambda c: c, carry)
                 return hit_branch(carry)
 
-            init = (jnp.zeros((SUBLANES, Q * LANES), F32),
-                    jnp.zeros((SUBLANES, Q * LANES), F32))
+            # seed with lanes the cheap sphere/plane occluders already
+            # blocked (caller ORs our result into theirs, so reporting
+            # them blocked is a no-op) — they drop out of every cull
+            # level from the first block, and whole superblocks of
+            # pre-shadowed tiles reject without a mask compute
+            if pre_bl is None:
+                bl0 = jnp.zeros((SUBLANES, Q * LANES), F32)
+            else:
+                bl0 = jnp.concatenate(
+                    [b.astype(F32) for b in pre_bl], axis=1)
+            init = (bl0, jnp.zeros((SUBLANES, Q * LANES), F32))
             tri_stream_start(0)
             bl_s, cnt_s = tri_sweep(body, init, oQ, invQ, fact,
                                     lambda c: tmaxQ)
@@ -1485,7 +1500,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         sp_op.append(opac)
                 if nblk:
                     t_bls, t_ops = tri_feeler_multi(phx, phy, phz,
-                                                    queries, is_solid)
+                                                    queries, is_solid,
+                                                    pre_bl=sp_bl)
                     sp_bl = [b | tb for b, tb in zip(sp_bl, t_bls)]
                     sp_op = [o * to for o, to in zip(sp_op, t_ops)]
                 # pass 2: per-light soft ratios + Phong
