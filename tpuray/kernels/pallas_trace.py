@@ -246,11 +246,17 @@ _TRI_CULL = True      # debug toggle: False = brute-force every block
 # MXU passes for the Moller-Trumbore bilinear forms (see tri_pair_ts):
 # highest = 6-pass f32 emulation, high = 3-pass (~f32 mantissa via
 # bf16x3 — halves the closest-sweep matmul cost), default = 1-pass bf16
-_TRI_DOT_PRECISION = {
+_TRI_PREC_CHOICES = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("TPURAY_TRI_T_PREC", "highest")]
+}
+_TRI_T_PREC_NAME = os.environ.get("TPURAY_TRI_T_PREC", "highest")
+if _TRI_T_PREC_NAME not in _TRI_PREC_CHOICES:
+    raise ValueError(
+        f"TPURAY_TRI_T_PREC={_TRI_T_PREC_NAME!r} is not one of "
+        f"{sorted(_TRI_PREC_CHOICES)}")
+_TRI_DOT_PRECISION = _TRI_PREC_CHOICES[_TRI_T_PREC_NAME]
 # shadow feelers only need a boolean any-hit, not an accurate t, so
 # their pair matmuls run single-pass bf16 (~2x whole-render speedup on
 # mesh scenes).  bf16's absolute tn noise is ~0.4% of the |o|,|v0|
@@ -293,9 +299,12 @@ class TriBlocks(NamedTuple):
     aabb: jnp.ndarray    # [nblk*6] per-block bounds (lo3 ++ hi3), SMEM
     nblk: int
     # two-level cull: union bounds of each TRI_SB-block superblock,
-    # [nsb*6], appended after aabb in the kernel's SMEM table
-    sb_aabb: jnp.ndarray = None
-    nsb: int = 0
+    # [nsb*6], appended after aabb in the kernel's SMEM table.  Required
+    # (no default): build_tri_blocks always populates it, and a missing
+    # field must fail at the construction site, not as an opaque
+    # concatenate error deep in _pallas_forward
+    sb_aabb: jnp.ndarray
+    nsb: int
 
 
 def _mat_columns(mat, concrete: bool = False) -> list:
@@ -815,14 +824,16 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         def tri_pair_ts(blk, feat):
             """[TB, N] per-pair hit t for a loaded block (INF = no hit).
 
-            Runs at HIGHEST precision: the TPU MXU multiplies f32
-            inputs in bfloat16 by default, which costs ~3 decimal digits
-            on det/t — enough to flip edge sign tests and admit near-zero
-            self-hit t values whose degenerate hit points NaN the
-            view-vector normalize downstream.  Full-f32 passes keep the
-            pair math at XLA-tracer accuracy.  (Shadow feelers, which
-            only need a boolean any-hit, use the single-pass bf16
-            tri_pair_sum with its plane-distance guard instead.)"""
+            Runs at HIGHEST precision by default (env-configurable via
+            TPURAY_TRI_T_PREC=default|high|highest): the TPU MXU
+            multiplies f32 inputs in bfloat16 by default, which costs
+            ~3 decimal digits on det/t — enough to flip edge sign tests
+            and admit near-zero self-hit t values whose degenerate hit
+            points NaN the view-vector normalize downstream.  Full-f32
+            passes keep the pair math at XLA-tracer accuracy.  (Shadow
+            feelers, which only need a boolean any-hit, use the
+            single-pass bf16 tri_pair_sum with its plane-distance guard
+            instead.)"""
             M = jax.lax.dot_general(
                 blk, feat, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,

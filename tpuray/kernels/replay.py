@@ -70,7 +70,13 @@ def _sphere_t(o, d, center, radius, active):
     v = o - center
     a = pr.dot3(d, d)
     a = jnp.where(a > 0, a, 1.0)
-    b = pr.dot3(2.0 * v, d)
+    # 2.0 * dot(v, d), NOT dot(2v, d): matches the kernel's op order
+    # (pallas_trace sphere_t) so both programs round the near-cancelling
+    # quadratic identically wherever the backend compiles them alike —
+    # grazing hits (disc ~ 1e-4 out of b^2 ~ 1e2) amplify any op-order
+    # rounding delta ~10x through the Schlick chain (see PARITY.md,
+    # round-5 chaotic-pixel analysis)
+    b = 2.0 * pr.dot3(v, d)
     c = pr.dot3(v, v) - radius * radius
     sq = _sqrt_pos(b * b - 4.0 * a * c)
     two_a = 2.0 * a
