@@ -17,6 +17,10 @@ from tpuray.sceneio import load_scene
 from tpuray.textures import load_default_assets
 
 W, H, D = 512, 384, 3
+if len(sys.argv) > 1:          # e.g. `profile_replay.py 15` for depth 15
+    D = int(sys.argv[1])
+if len(sys.argv) > 3:
+    W, H = int(sys.argv[2]), int(sys.argv[3])
 scene = load_scene("/root/reference/scenes/render.map").to_scene()
 assets = load_default_assets()
 cam = Camera(GOLDEN_CAMERA_ORIGIN, GOLDEN_CAMERA_LOOKDIR, 90.0, 1.0)

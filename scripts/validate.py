@@ -76,10 +76,11 @@ def run_stages(stages):
 
 def run_invrender():
     from tpuray.apps.invrender import main as inv_main
-    err0, err1 = inv_main(["--steps", "120", "--width", "128",
+    err0, err1 = inv_main(["--steps", "200", "--width", "128",
                            "--height", "96",
+                           "--lr", "3e-2", "--light-lr-scale", "1.0",
                            "--checkpoint", "/tmp/validate_inv.npz"])
-    return {"config": "128x96_depth3_120steps",
+    return {"config": "128x96_depth3_200steps",
             "param_err_start": round(float(err0), 4),
             "param_err_end": round(float(err1), 4),
             "recovered_frac": round(1.0 - float(err1) / max(float(err0),

@@ -156,18 +156,40 @@ class TestInvrender:
 
     def test_pallas_engine_recovers(self, tmp_path):
         """engine='pallas' end to end (record preflight + replay-VJP
-        steps, Pallas interpret mode on the CPU backend) must actually
-        RECOVER, not just run: 60 steps at 32x24 measure 0.667 of the
-        start error (VERDICT r2 item 8 — the old 3-step smoke test
-        could not catch a replay-gradient regression)."""
-        from tpuray.apps import invrender
+        steps) must actually RECOVER, not just run (VERDICT r2 item 8 —
+        the old 3-step smoke test could not catch a replay-gradient
+        regression).
+
+        Runs in a scrubbed-env CPU subprocess (Pallas interpret mode),
+        the configuration this test was designed for: in-process the
+        axon plugin routes the non-interpret forward through the TPU
+        tunnel, which made the test a 400+ s flake under suite load
+        (VERDICT r4 item 6) without testing anything the subprocess
+        doesn't."""
+        import re
+        import subprocess
+        import sys
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)   # disables axon plugin
+        env["JAX_PLATFORMS"] = "cpu"
         ck = str(tmp_path / "inv_p.npz")
-        err0, err1 = invrender.main(
-            ["--steps", "60", "--width", "32", "--height", "24",
+        proc = subprocess.run(
+            [sys.executable, "-m", "tpuray.apps.invrender",
+             "--steps", "150", "--width", "48", "--height", "36",
              "--depth", "2", "--engine", "pallas",
-             "--checkpoint", ck, "--every", "30"])
+             "--lr", "3e-2", "--light-lr-scale", "1.0",
+             "--checkpoint", ck, "--every", "50"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        m = re.search(r"param error: ([0-9.]+) -> ([0-9.]+)", proc.stdout)
+        assert m, proc.stdout
+        err0, err1 = float(m.group(1)), float(m.group(2))
         assert err0 > 0.03
-        assert err1 < 0.75 * err0, (err0, err1)
+        # r5 bar: 0.75 -> 0.5 of the start error (measured 0.347 at this
+        # config with the cosine-decay lr schedule)
+        assert err1 < 0.5 * err0, (err0, err1)
 
     def test_recovers_render_map_params_within_tolerance(self, tmp_path):
         """BASELINE config 4 (VERDICT r1 item 5): recover render.map's

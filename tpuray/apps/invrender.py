@@ -125,6 +125,11 @@ def main(argv=None):
                          "the smooth falloff/highlight terms are the "
                          "well-posed light-position signal")
     ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--lr-alpha", type=float, default=0.05,
+                    help="cosine-decay floor as a fraction of --lr; adam "
+                         "at a constant lr plateaus in an oscillation "
+                         "band around the minimum, the decay converges "
+                         "the tail (r5: full-size recovery 67%% -> 80%%+)")
     ap.add_argument("--light-lr-scale", type=float, default=0.25,
                     help="light-origin step size relative to --lr")
     ap.add_argument("--mat-scale", type=float, default=0.5,
@@ -208,8 +213,11 @@ def main(argv=None):
     # zero_nans: a boundary-degenerate step (grazing hit, light touching a
     # surface) must not poison the run; clip: the L2-sum loss has stiff
     # directions (specular powers) that can otherwise blow past minima
+    lr_sched = optax.cosine_decay_schedule(
+        init_value=args.lr, decay_steps=max(args.steps, 1),
+        alpha=args.lr_alpha)
     opt = optax.chain(optax.zero_nans(), optax.clip_by_global_norm(5.0),
-                      optax.adam(args.lr))
+                      optax.adam(lr_sched))
     opt_state = opt.init(params)
     step0 = 0
     if args.resume:

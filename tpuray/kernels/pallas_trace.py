@@ -247,8 +247,10 @@ _TRI_CULL = True      # debug toggle: False = brute-force every block
 # highest = 6-pass f32 emulation, high = 3-pass (~f32 mantissa via
 # bf16x3 — halves the closest-sweep matmul cost), default = 1-pass bf16
 _TRI_PREC_CHOICES = {
+    # Mosaic's dot lowering supports only DEFAULT (1-pass bf16) and
+    # HIGHEST (6-pass f32 emulation); Precision.HIGH raises
+    # NotImplementedError inside pallas_call (measured round 5)
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
 _TRI_T_PREC_NAME = os.environ.get("TPURAY_TRI_T_PREC", "highest")
@@ -277,13 +279,14 @@ TRI_CGROUP = int(os.environ.get("TPURAY_TRI_CGROUP", "8"))
 # (measured: FG=1 36.7 ms, FG=2 33.8, FG=4 32.7 on stage 5; FG >= 8
 # explodes Mosaic compile time).  Must divide SUBLANES
 TRI_FGROUP = int(os.environ.get("TPURAY_TRI_FGROUP", "4"))
-# blocks per superblock for the two-level AABB cull: one union-AABB slab
+# blocks per superblock for the superblock-level AABB cull: one union slab
 # test rejects TRI_SB blocks at once, so miss-heavy tiles (sky, geometry
 # far off-axis) pay nblk/TRI_SB mask computes instead of nblk — the
 # per-block mask arithmetic itself, not just the cond sync, is a real
 # cost at [S, Q*L] feeler width.  Morton-sorted blocks keep the unions
-# tight.  Applied on the VMEM-resident path only (the streamed path's
-# double-buffered DMA chain must visit every block in order)
+# tight.  Applied on BOTH table modes: the streamed path drives its
+# double-buffered DMA chain per visited superblock, so missed
+# superblocks skip their block DMAs entirely (cull-aware streaming)
 TRI_SB = int(os.environ.get("TPURAY_TRI_SB", "8"))
 # winner-attribute one-hot pick precision (HIGHEST: normals/materials
 # must not round to bf16; env knob exists to measure its cost)
@@ -298,13 +301,15 @@ class TriBlocks(NamedTuple):
     attr: jnp.ndarray    # [TRI_ATTR_ROWS, nblk*TB] winner-extraction table
     aabb: jnp.ndarray    # [nblk*6] per-block bounds (lo3 ++ hi3), SMEM
     nblk: int
-    # two-level cull: union bounds of each TRI_SB-block superblock,
-    # [nsb*6], appended after aabb in the kernel's SMEM table.  Required
-    # (no default): build_tri_blocks always populates it, and a missing
-    # field must fail at the construction site, not as an opaque
-    # concatenate error deep in _pallas_forward
+    # cull hierarchy: union bounds of each TRI_SB-block superblock
+    # ([nsb*6]) and of the whole mesh ([6]), appended after aabb in the
+    # kernel's SMEM table.  Required (no defaults): build_tri_blocks
+    # always populates them, and a missing field must fail at the
+    # construction site, not as an opaque concatenate error deep in
+    # _pallas_forward
     sb_aabb: jnp.ndarray
     nsb: int
+    sc_aabb: jnp.ndarray
 
 
 def _mat_columns(mat, concrete: bool = False) -> list:
@@ -426,13 +431,17 @@ def build_tri_blocks(scene: Scene, tb: int = None) -> "TriBlocks | None":
     sb_lo = lo_p.reshape(nsb, TRI_SB, 3).min(axis=1)
     sb_hi = hi_p.reshape(nsb, TRI_SB, 3).max(axis=1)
     sb_aabb = xp.concatenate([sb_lo, sb_hi], axis=1).reshape(-1)
+    # whole-mesh union (level-0 cull: one cond skips the entire sweep —
+    # and, streamed, every block DMA — for tiles whose rays miss the mesh)
+    sc_aabb = xp.concatenate([lo.min(axis=0), hi.max(axis=0)])
     if concrete:
         b_lhs = b_lhs.astype(np.float32)
         attr = attr.astype(np.float32)
         aabb = aabb.astype(np.float32)
         sb_aabb = sb_aabb.astype(np.float32)
+        sc_aabb = sc_aabb.astype(np.float32)
     return TriBlocks(b_lhs=b_lhs, attr=attr, aabb=aabb, nblk=nblk,
-                     sb_aabb=sb_aabb, nsb=nsb)
+                     sb_aabb=sb_aabb, nsb=nsb, sc_aabb=sc_aabb)
 
 
 # ---------------------------------------------------------------------------
@@ -782,20 +791,19 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 for c in tri_dma(b):
                     c.start()
 
-            def tri_sync(b):
-                """Issue block b+1's copies, wait for block b's.  Runs
-                UNCONDITIONALLY per block (outside the cull cond) so
-                every started copy is waited exactly once."""
-                @pl.when(b + 1 < nblk)
-                def _():
-                    tri_stream_start(b + 1)
+            def tri_wait(b):
+                """Wait block b's copies; slot for tri_load.  Every
+                started copy is waited exactly once: starts/waits are
+                driven by tri_sweep's segment loop, UNCONDITIONALLY per
+                visited block (the per-block cull cond only guards the
+                compute)."""
                 for c in tri_dma(b):
                     c.wait()
                 return jax.lax.rem(b, 2)
 
             def tri_load(b, slot):
                 """(blk [10, 4*TB], attr [ATTR, TB]) for block b — reads
-                the VMEM slot tri_sync(b) returned; call inside the hit
+                the VMEM slot tri_wait(b) returned; call inside the hit
                 branch so culled blocks skip the VMEM->register load."""
                 return (tri_buf_b[pl.ds(slot * 16, 10), :],
                         tri_buf_attr[pl.ds(slot * A_ROWS, A_ROWS), :])
@@ -803,7 +811,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             def tri_stream_start(b):
                 pass
 
-            def tri_sync(b):
+            def tri_wait(b):
                 return b
 
             def tri_load(b, slot):
@@ -930,37 +938,74 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
             return (tmx >= tmn) & (tmx >= 0) & act
 
-        # two-level cull applies off the streamed path (its DMA chain
-        # must visit every block in order) when there is more than one
-        # superblock to skip
+        # superblock cull applies on BOTH table modes when there is more
+        # than one superblock to skip (round-5: the streamed path's DMA
+        # chain is driven per-superblock, so missed superblocks skip
+        # their block DMAs entirely — cull-aware streaming)
         nsb = -(-nblk // TRI_SB) if nblk else 0
-        use_sb = _TRI_CULL and not stream and nblk > TRI_SB
+        use_sb = _TRI_CULL and nblk > TRI_SB
 
         def tri_sweep(body, init, o3, inv3, act_of, bound_of):
-            """Run a per-block sweep ``body`` over all nblk blocks,
-            either flat or under the superblock cull: one union-AABB
-            slab test per TRI_SB blocks; a miss skips those blocks'
-            masks, conds and (on hit paths) matmuls entirely.
+            """Run per-block ``body(b, slot, carry)`` over the nblk
+            blocks under a three-level AABB cull:
+
+            0. whole-mesh union (SMEM offset (nblk+nsb)*6): ONE cond
+               skips the entire sweep — and, streamed, every DMA — for
+               tiles whose active segments miss the mesh (the dominant
+               case on large images where the mesh covers few tiles);
+            1. superblock unions (TRI_SB blocks each, offset nblk*6 +
+               sb*6): a miss skips those blocks' masks, conds, matmuls
+               and (streamed) DMAs;
+            2. ``body``'s own per-block cull cond.
+
             ``act_of(carry)`` / ``bound_of(carry)`` recompute the
-            active-lane mask and segment bound at superblock
-            granularity (both only shrink, so testing them one level
-            up is conservative)."""
-            if not use_sb:
-                return jax.lax.fori_loop(0, nblk, body, init)
+            active-lane mask and segment bound at cull granularity
+            (both only shrink, so testing them one level up is
+            conservative).  Streamed DMA double-buffering is driven
+            here: block b+1's copies start before block b's are waited,
+            chained within the visited segment (the first block of each
+            segment pays one exposed ~90 KB copy)."""
+            if nblk and stream:
+                def seg_loop(b0, b1, c):
+                    tri_stream_start(b0)
 
-            def sb_body(sb, carry):
-                hit = jnp.any(tri_cull_mask(
-                    np.int32(nblk * 6) + sb * np.int32(6),
-                    o3, inv3, act_of(carry), bound_of(carry)))
-                b0 = sb * np.int32(TRI_SB)
-                return jax.lax.cond(
-                    hit,
-                    lambda c: jax.lax.fori_loop(
-                        b0, jnp.minimum(b0 + np.int32(TRI_SB),
-                                        np.int32(nblk)), body, c),
-                    lambda c: c, carry)
+                    def sbody(b, c2):
+                        @pl.when(b + 1 < b1)
+                        def _():
+                            tri_stream_start(b + 1)
+                        return body(b, tri_wait(b), c2)
 
-            return jax.lax.fori_loop(0, nsb, sb_body, init)
+                    return jax.lax.fori_loop(b0, b1, sbody, c)
+            else:
+                def seg_loop(b0, b1, c):
+                    return jax.lax.fori_loop(
+                        b0, b1, lambda b, c2: body(b, b, c2), c)
+
+            if use_sb:
+                def sb_body(sb, carry):
+                    hit = jnp.any(tri_cull_mask(
+                        np.int32(nblk * 6) + sb * np.int32(6),
+                        o3, inv3, act_of(carry), bound_of(carry)))
+                    b0 = sb * np.int32(TRI_SB)
+                    return jax.lax.cond(
+                        hit,
+                        lambda c: seg_loop(
+                            b0, jnp.minimum(b0 + np.int32(TRI_SB),
+                                            np.int32(nblk)), c),
+                        lambda c: c, carry)
+
+                def run_all(c):
+                    return jax.lax.fori_loop(0, nsb, sb_body, c)
+            else:
+                def run_all(c):
+                    return seg_loop(np.int32(0), np.int32(nblk), c)
+
+            if not _TRI_CULL:
+                return run_all(init)
+            hit0 = jnp.any(tri_cull_mask(
+                np.int32((nblk + nsb) * 6), o3, inv3, act_of(init),
+                bound_of(init)))
+            return jax.lax.cond(hit0, run_all, lambda c: c, init)
 
         def tri_closest(px, py, pz, qx, qy, qz, act, lt, bt):
             """Closest triangle + winner attrs + light-occlusion, whole tile.
@@ -987,8 +1032,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             def cbound(carry):
                 return jnp.maximum(lt_seg, jnp.minimum(bt, carry[0]))
 
-            def body(b, carry):
-                slot = tri_sync(b)
+            def body(b, slot, carry):
                 bound = cbound(carry)
 
                 def hit_branch(c):
@@ -997,36 +1041,48 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     tr = tri_transp_col(attr_blk)
                     t_rows, a_rows, lb_rows, w_rows = [], [], [], []
                     for gi, g in enumerate(range(0, SUBLANES, G)):
-                        tvg = tri_pair_ts(blk, featg[gi])   # [TB, G*L]
-                        for i in range(min(G, SUBLANES - g)):
+                        gw = min(G, SUBLANES - g)
+                        tvg = tri_pair_ts(blk, featg[gi])   # [TB, gw*L]
+                        # winner reduction + one-hot over the WHOLE
+                        # group width: ONE pick matmul per group (the
+                        # per-sublane picks were G small HIGHEST-
+                        # precision matmuls per block — fixed MXU issue
+                        # cost x16 per block dominated the pick)
+                        tmin_g = jnp.min(tvg, axis=0, keepdims=True)
+                        ridx = jax.lax.broadcasted_iota(
+                            I32, (TB, gw * LANES), 0)
+                        first_g = jnp.min(
+                            jnp.where(tvg == tmin_g, ridx, np.int32(TB)),
+                            axis=0, keepdims=True)
+                        oh_g = ((ridx == first_g) & (tvg < INF)).astype(F32)
+                        # one-hot pick: HIGHEST so normals/materials
+                        # are not rounded to bf16 on the MXU
+                        picked_g = jnp.dot(
+                            attr_blk, oh_g, preferred_element_type=F32,
+                            precision=_TRI_PICK_PRECISION)  # [A, gw*L]
+                        for i in range(gw):
                             s = g + i
-                            tv = tvg[:, i * LANES:(i + 1) * LANES]
-                            tmin = jnp.min(tv, axis=0, keepdims=True)
-                            ridx = jax.lax.broadcasted_iota(
-                                I32, (TB, LANES), 0)
-                            first = jnp.min(
-                                jnp.where(tv == tmin, ridx, np.int32(TB)),
-                                axis=0, keepdims=True)
-                            oh = ((ridx == first) & (tv < INF)).astype(F32)
-                            # one-hot pick: HIGHEST so normals/materials
-                            # are not rounded to bf16 on the MXU
-                            picked = jnp.dot(
-                                attr_blk, oh, preferred_element_type=F32,
-                                precision=_TRI_PICK_PRECISION)
+                            sl = slice(i * LANES, (i + 1) * LANES)
+                            tv = tvg[:, sl]
+                            # light-occlusion test per sublane (a grouped
+                            # [1, gw*L] lt row would need a lane-concat
+                            # of sublane-offset slices, which Mosaic
+                            # rejects: offset mismatch on non-concat dim)
                             rel = (tv < INF) \
                                 & (tv <= lt[s:s + 1, :]) & (tr < 0.5)
                             lb_new = jnp.max(rel.astype(F32), axis=0,
                                              keepdims=True)
+                            tmin = tmin_g[:, sl]
                             better = tmin < tb_c[s:s + 1, :]
                             t_rows.append(jnp.where(better, tmin,
                                                     tb_c[s:s + 1, :]))
                             a_rows.append(jnp.where(
-                                better, picked,
+                                better, picked_g[:, sl],
                                 pick_c[s * A:(s + 1) * A, :]))
                             lb_rows.append(jnp.maximum(
                                 lb_c[s:s + 1, :], lb_new))
                             w_rows.append(jnp.where(
-                                better, b * np.int32(TB) + first,
+                                better, b * np.int32(TB) + first_g[:, sl],
                                 wid_c[s:s + 1, :]))
                     return (jnp.concatenate(t_rows, axis=0),
                             jnp.concatenate(a_rows, axis=0),
@@ -1044,7 +1100,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     jnp.zeros((A * SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), I32))
-            tri_stream_start(0)
             t_tri, pick, lb, wid = tri_sweep(
                 body, init, (px, py, pz), inv3, lambda c: act, cbound)
             lb_tri = lb > 0.5
@@ -1100,7 +1155,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             def fact(carry):
                 return actQ & (carry[0] < 0.5)
 
-            def body(b, carry):
+            def body(b, slot, carry):
                 # drop lanes already known blocked, so shadowed regions
                 # stop sweeping.  Two cull levels, one mask computation:
                 # a whole-batch cond per block, then per-sublane conds
@@ -1110,7 +1165,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 # (measured: tile-cond-only regressed 55->65 ms on
                 # stage 5; the hybrid is the fastest of the three)
                 act_dyn = fact(carry)
-                slot = tri_sync(b)
                 mask = tri_cull_mask(b * np.int32(6), oQ, invQ, act_dyn,
                                      tmaxQ)
 
@@ -1177,7 +1231,6 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 bl0 = jnp.concatenate(
                     [b.astype(F32) for b in pre_bl], axis=1)
             init = (bl0, jnp.zeros((SUBLANES, Q * LANES), F32))
-            tri_stream_start(0)
             bl_s, cnt_s = tri_sweep(body, init, oQ, invQ, fact,
                                     lambda c: tmaxQ)
             lnt = np.float32(np.log(cfg.transparent_through))
@@ -1815,7 +1868,7 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
         # (tri_cull_mask indexes superblock s at nblk*6 + s*6)
         _cat = (np.concatenate if isinstance(tri.aabb, np.ndarray)
                 else jnp.concatenate)
-        aabb_smem = _cat([tri.aabb, tri.sb_aabb])
+        aabb_smem = _cat([tri.aabb, tri.sb_aabb, tri.sc_aabb])
     if tri and stream:
         # contiguous per-block layout so each DMA is one dense copy
         nb = tri.nblk
@@ -1871,7 +1924,7 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
                                   jnp.int32))
     if tri and stream:
         # double-buffered triangle-block slots + per-(slot, table) DMA
-        # semaphores (kernel-side tri_sync / tri_load)
+        # semaphores (kernel-side tri_wait / tri_load)
         scratch.append(pltpu.VMEM((2 * 16, 4 * tb), jnp.float32))
         scratch.append(pltpu.VMEM((2 * TRI_ATTR_ROWS, tb), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((2, 2)))

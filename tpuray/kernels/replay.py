@@ -204,15 +204,29 @@ def replay_render(scene: Scene, assets: SceneAssets,
             has_par = (pbyte & 0x80) != 0
             branch = (pbyte >> 6) & 1          # 0 = reflect, 1 = refract
             pslot = jnp.clip(pbyte & 0x3F, 0, Krec - 1)
-            # one-hot reduction instead of take_along_axis: a per-pixel
-            # dynamic gather costs ~7 ns/element on TPU; the masked sum
-            # over earlier slots is pure VPU work and an order of
-            # magnitude cheaper (parents can only live in earlier slots)
-            par = jnp.zeros((n_pix, 16), F32)
-            for k in range(s):
-                par = par + jnp.where((pslot == k)[:, None], bufs[k], 0.0)
-            side = jnp.where((branch == 1)[:, None], par[:, 8:16],
-                             par[:, 0:8])
+            # Parent-slot structure (kernel one_step continuation logic,
+            # pallas_trace.py): a node CONTINUING in place — the refract
+            # child when the parent pushed, else the reflect child —
+            # always lands in the very next record slot (pslot == s-1),
+            # while a POPPED node is always the stacked REFLECTED child
+            # of an earlier node (pslot <= s-2, branch == 0: the kernel
+            # stacks pc_refl only).  So the common case is a direct read
+            # of bufs[s-1], and only popped reflect children need the
+            # masked one-hot sum — over the 8-wide reflect half and
+    	    # slots <= s-2.  (One-hot sum, not take_along_axis: per-
+            # pixel dynamic gathers cost ~7 ns/element on TPU; the
+            # masked sum is pure VPU work.  This replaced a full-width
+            # sum over ALL earlier slots: O(Krec^2) 16-wide adds, ~2x
+            # the backward's cost at depth 15 — VERDICT r4 item 7.)
+            in_place = pslot == np.int32(s - 1)
+            par_prev = bufs[s - 1]
+            side_prev = jnp.where((branch == 1)[:, None],
+                                  par_prev[:, 8:16], par_prev[:, 0:8])
+            old = jnp.zeros((n_pix, 8), F32)
+            for k in range(s - 1):
+                old = old + jnp.where((pslot == k)[:, None],
+                                      bufs[k][:, 0:8], 0.0)
+            side = jnp.where(in_place[:, None], side_prev, old)
             o = side[:, 0:3]
             d = side[:, 3:6]
             f = side[:, 6]
