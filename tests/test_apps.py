@@ -202,7 +202,7 @@ class TestInvrender:
         regression (VERDICT r2 item 8)."""
         from tpuray.apps import invrender
         ck = str(tmp_path / "inv.npz")
-        err0, err1 = invrender.main(
+        err0, err1, obs0, obs1 = invrender.main(
             ["--steps", "120", "--width", "48", "--height", "36",
              "--depth", "2", "--checkpoint", ck, "--every", "60",
              "--engine", "xla"])

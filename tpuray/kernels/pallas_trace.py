@@ -235,12 +235,15 @@ TRI_TRANSP_ROW = 3 + _MAT_FIELDS.index("transparent")
 # TRI_STREAM_MAX_TRIANGLES; only beyond THAT does the engine fall back
 # to the XLA tracer.
 TRI_MAX_TRIANGLES = 32768
-# streamed-path block size: chunky DMAs (82 KB b_lhs + 8 KB attr per
-# block) amortize the per-copy latency that TRI_TB-sized blocks cannot
-TRI_STREAM_TB = int(os.environ.get("TPURAY_TRI_STREAM_TB", "512"))
-# block AABBs live in SMEM (6 f32 each); 1024 blocks keeps that at
-# 24 KB.  512 * 1024 = 524,288 triangles, 16x the VMEM-resident cap
-TRI_STREAM_MAX_BLOCKS = 1024
+# streamed-path block size: chunky DMAs amortize the per-copy latency
+# that TRI_TB-sized blocks cannot, but now that the stream path culls
+# (r5: per-superblock DMA skipping + the whole-mesh level-0 cond),
+# tighter 256-tri AABBs beat 512's bigger copies: 164k tris at 512x384
+# d3 measured 390 ms @ 512 vs 228 ms @ 256
+TRI_STREAM_TB = int(os.environ.get("TPURAY_TRI_STREAM_TB", "256"))
+# block AABBs live in SMEM (6 f32 each); 2048 blocks keeps that at
+# 48 KB.  256 * 2048 = 524,288 triangles, 16x the VMEM-resident cap
+TRI_STREAM_MAX_BLOCKS = 2048
 TRI_STREAM_MAX_TRIANGLES = TRI_STREAM_TB * TRI_STREAM_MAX_BLOCKS
 _TRI_CULL = True      # debug toggle: False = brute-force every block
 # MXU passes for the Moller-Trumbore bilinear forms (see tri_pair_ts):
@@ -249,11 +252,15 @@ _TRI_CULL = True      # debug toggle: False = brute-force every block
 _TRI_PREC_CHOICES = {
     # Mosaic's dot lowering supports only DEFAULT (1-pass bf16) and
     # HIGHEST (6-pass f32 emulation); Precision.HIGH raises
-    # NotImplementedError inside pallas_call (measured round 5)
+    # NotImplementedError inside pallas_call (measured round 5).
+    # 'bf16x3' is a manual 3-pass hi/lo split (see tri_pair_ts): ~16-bit
+    # mantissa on det/t at half HIGHEST's MXU cost — the default since
+    # r5 (mesh parity tests pass at the same tolerances as HIGHEST)
     "default": jax.lax.Precision.DEFAULT,
+    "bf16x3": "bf16x3",
     "highest": jax.lax.Precision.HIGHEST,
 }
-_TRI_T_PREC_NAME = os.environ.get("TPURAY_TRI_T_PREC", "highest")
+_TRI_T_PREC_NAME = os.environ.get("TPURAY_TRI_T_PREC", "bf16x3")
 if _TRI_T_PREC_NAME not in _TRI_PREC_CHOICES:
     raise ValueError(
         f"TPURAY_TRI_T_PREC={_TRI_T_PREC_NAME!r} is not one of "
@@ -310,6 +317,12 @@ class TriBlocks(NamedTuple):
     sb_aabb: jnp.ndarray
     nsb: int
     sc_aabb: jnp.ndarray
+    # static: does ANY triangle have a transparent material?  False lets
+    # the feeler sweep drop the whole transparency-weighting machinery
+    # (wop select / weighted sum / mod / exp) for a plain any-hit and
+    # skip the attr-block load (r5 opaque fast path).  Traced scenes
+    # conservatively report True.
+    has_transp: bool
 
 
 def _mat_columns(mat, concrete: bool = False) -> list:
@@ -365,6 +378,10 @@ def build_tri_blocks(scene: Scene, tb: int = None) -> "TriBlocks | None":
         isinstance(leaf, jax.core.Tracer)
         for leaf in jax.tree.leaves((scene.tri_v0, scene.tri_v1,
                                      scene.tri_v2, scene.tri_mat)))
+    has_transp = True
+    if concrete:
+        has_transp = bool(np.any(
+            np.asarray(scene.tri_mat.transparent) > 0.5))
     xp = np if concrete else jnp
     nblk = -(-t_count // tb)
     tp = nblk * tb
@@ -441,7 +458,8 @@ def build_tri_blocks(scene: Scene, tb: int = None) -> "TriBlocks | None":
         sb_aabb = sb_aabb.astype(np.float32)
         sc_aabb = sc_aabb.astype(np.float32)
     return TriBlocks(b_lhs=b_lhs, attr=attr, aabb=aabb, nblk=nblk,
-                     sb_aabb=sb_aabb, nsb=nsb, sc_aabb=sc_aabb)
+                     sb_aabb=sb_aabb, nsb=nsb, sc_aabb=sc_aabb,
+                     has_transp=has_transp)
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +591,7 @@ def _plane_basis(nx, ny, nz):
 def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                  width: int, height: int, gx: int, nblk: int = 0,
                  record: bool = False, stream: bool = False,
-                 tb: int = TRI_TB):
+                 tb: int = TRI_TB, tri_opaque: bool = False):
     """Builds the tile kernel closure.  All loop bounds / offsets static.
 
     v2 structure (after profiling the v1 kernel at ~116 us/DFS-step):
@@ -801,12 +819,15 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     c.wait()
                 return jax.lax.rem(b, 2)
 
-            def tri_load(b, slot):
+            def tri_load(b, slot, attrs=True):
                 """(blk [10, 4*TB], attr [ATTR, TB]) for block b — reads
                 the VMEM slot tri_wait(b) returned; call inside the hit
-                branch so culled blocks skip the VMEM->register load."""
+                branch so culled blocks skip the VMEM->register load.
+                ``attrs=False`` skips the attr-table load (opaque
+                feeler fast path)."""
                 return (tri_buf_b[pl.ds(slot * 16, 10), :],
-                        tri_buf_attr[pl.ds(slot * A_ROWS, A_ROWS), :])
+                        tri_buf_attr[pl.ds(slot * A_ROWS, A_ROWS), :]
+                        if attrs else None)
         else:
             def tri_stream_start(b):
                 pass
@@ -814,9 +835,9 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             def tri_wait(b):
                 return b
 
-            def tri_load(b, slot):
+            def tri_load(b, slot, attrs=True):
                 return (tri_b[:, pl.ds(b * 4 * TB, 4 * TB)],
-                        tri_attr[:, pl.ds(b * TB, TB)])
+                        tri_attr[:, pl.ds(b * TB, TB)] if attrs else None)
 
         def tri_features(s, px, py, pz, qx, qy, qz):
             """[10, 128] feature matrix for sublane row s of a ray tile."""
@@ -832,20 +853,47 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         def tri_pair_ts(blk, feat):
             """[TB, N] per-pair hit t for a loaded block (INF = no hit).
 
-            Runs at HIGHEST precision by default (env-configurable via
-            TPURAY_TRI_T_PREC=default|high|highest): the TPU MXU
-            multiplies f32 inputs in bfloat16 by default, which costs
-            ~3 decimal digits on det/t — enough to flip edge sign tests
-            and admit near-zero self-hit t values whose degenerate hit
-            points NaN the view-vector normalize downstream.  Full-f32
-            passes keep the pair math at XLA-tracer accuracy.  (Shadow
-            feelers, which only need a boolean any-hit, use the
-            single-pass bf16 tri_pair_sum with its plane-distance guard
-            instead.)"""
-            M = jax.lax.dot_general(
-                blk, feat, (((0,), (0,)), ((), ())),
-                preferred_element_type=F32,
-                precision=_TRI_DOT_PRECISION)               # [4*TB, N]
+            Runs at bf16x3 by default (env-configurable via
+            TPURAY_TRI_T_PREC=default|bf16x3|highest): single-pass bf16
+            costs ~3 decimal digits on det/t — enough to flip edge sign
+            tests and admit near-zero self-hit t values whose
+            degenerate hit points NaN the view-vector normalize
+            downstream.  bf16x3 splits both operands into hi + lo bf16
+            halves (each exactly representable, so the DEFAULT dots are
+            lossless) and sums hi@hi + hi@lo + lo@hi: ~16-bit mantissa
+            at 3 MXU passes, i.e. half HIGHEST's 6-pass f32 emulation,
+            the dropped lo@lo term bounded by ~2^-16 of the feature
+            magnitudes.  (Shadow feelers, which only need a boolean
+            any-hit, use the single-pass bf16 tri_pair_sum with its
+            plane-distance guard instead.)
+
+            Stream mode (TB = 512) keeps HIGHEST: bf16x3's three
+            explicit [4*TB, N] partial products are 8 MB each at the
+            streamed block size and blow the 16 MB scoped-VMEM budget
+            (HIGHEST's passes accumulate inside the MXU op); the
+            streamed path is DMA/sweep-bound, not matmul-bound."""
+            if _TRI_DOT_PRECISION == "bf16x3" and not stream:
+                dims = (((0,), (0,)), ((), ()))
+
+                def hi_lo(x):
+                    h = x.astype(jnp.bfloat16).astype(F32)
+                    return h, x - h
+
+                bh, bl_ = hi_lo(blk)
+                fh, fl_ = hi_lo(feat)
+                M = (jax.lax.dot_general(bh, fh, dims,
+                                         preferred_element_type=F32)
+                     + jax.lax.dot_general(bh, fl_, dims,
+                                           preferred_element_type=F32)
+                     + jax.lax.dot_general(bl_, fh, dims,
+                                           preferred_element_type=F32))
+            else:
+                M = jax.lax.dot_general(
+                    blk, feat, (((0,), (0,)), ((), ())),
+                    preferred_element_type=F32,
+                    precision=(jax.lax.Precision.HIGHEST
+                               if _TRI_DOT_PRECISION == "bf16x3"
+                               else _TRI_DOT_PRECISION))    # [4*TB, N]
             det = M[0 * TB:1 * TB, :]
             tn = M[1 * TB:2 * TB, :]
             un = M[2 * TB:3 * TB, :]
@@ -888,7 +936,14 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             m3 = jnp.minimum(jnp.minimum(un * det, vn * det),
                              (det - un - vn) * det)
             m2 = jnp.minimum(tn * det, (tmax * det - tn) * det)
-            rel = (m3 >= 0) & (m2 > 0)                 & (jnp.abs(det) > np.float32(1e-7))                 & (jnp.abs(tn) > np.float32(_TRI_FEELER_PLANE_DIST))
+            rel = (m3 >= 0) & (m2 > 0) \
+                & (jnp.abs(det) > np.float32(1e-7)) \
+                & (jnp.abs(tn) > np.float32(_TRI_FEELER_PLANE_DIST))
+            if tri_opaque:
+                # any-hit only: every occluder fully blocks, no
+                # transparency count to carry (r5 opaque fast path)
+                return jnp.max(jnp.where(rel, 1.0, 0.0), axis=0,
+                               keepdims=True)
             return jnp.sum(jnp.where(rel, wop, 0.0), axis=0,
                            keepdims=True)
 
@@ -921,17 +976,24 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             per-sublane conds REGRESSED to 65 ms)."""
             return jnp.any(tri_cull_mask(off, o3, inv3, act, bound))
 
-        def tri_cull_mask(off, o3, inv3, act, bound):
+        def tri_cull_mask(off, o3, inv3, act, bound, inflate=None):
             """Per-lane slab-test hit mask vs the AABB at SMEM element
             offset ``off`` (block b -> b*6, superblock s -> nblk*6 +
             s*6; the superblock unions are appended after the per-block
             entries — build_tri_blocks).  Feelers also reuse the mask
-            rows for per-sublane skipping inside a hit block."""
+            rows for per-sublane skipping inside a hit block.
+            ``inflate`` grows the AABB by a scalar radius on every axis
+            (the per-light capsule precull: every sample segment to an
+            area light lies inside the center segment Minkowski-summed
+            with the light ball)."""
             tmn = jnp.zeros_like(bound)
             tmx = bound
             for k in range(3):
                 lo = tri_aabb[off + k]
                 hi = tri_aabb[off + 3 + k]
+                if inflate is not None:
+                    lo = lo - inflate
+                    hi = hi + inflate
                 t0 = (lo - o3[k]) * inv3[k]
                 t1 = (hi - o3[k]) * inv3[k]
                 tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
@@ -945,7 +1007,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         nsb = -(-nblk // TRI_SB) if nblk else 0
         use_sb = _TRI_CULL and nblk > TRI_SB
 
-        def tri_sweep(body, init, o3, inv3, act_of, bound_of):
+        def tri_sweep(body, init, o3, inv3, act_of, bound_of,
+                      level0=True):
             """Run per-block ``body(b, slot, carry)`` over the nblk
             blocks under a three-level AABB cull:
 
@@ -1000,7 +1063,10 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 def run_all(c):
                     return seg_loop(np.int32(0), np.int32(nblk), c)
 
-            if not _TRI_CULL:
+            if not _TRI_CULL or not level0:
+                # level0=False: the CALLER already branched on the
+                # whole-mesh test (so its feature/query-batch builds
+                # are skipped too, not just the block loop)
                 return run_all(init)
             hit0 = jnp.any(tri_cull_mask(
                 np.int32((nblk + nsb) * 6), o3, inv3, act_of(init),
@@ -1020,14 +1086,15 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             lt) for every lane are culled (they can affect neither the
             closest hit nor light occlusion); the running-best term
             shrinks the cull segment as earlier blocks land hits."""
-            feats = [tri_features(s, px, py, pz, qx, qy, qz)
-                     for s in range(SUBLANES)]
             G = TRI_CGROUP
-            featg = [jnp.concatenate(feats[g:g + G], axis=1)
-                     for g in range(0, SUBLANES, G)]
             lt_seg = jnp.where(lt < INF, lt, 0.0)
             inv3 = tri_inv3((qx, qy, qz))
             A = TRI_ATTR_ROWS
+            # ray-feature construction is DEFERRED into run() below so
+            # a mesh-missing tile's level-0 cond skips it too — at 4K
+            # most (tile, step) sweeps end at that one cond (r5).  body
+            # is only traced inside run(), after the cell is filled.
+            featg_cell = []
 
             def cbound(carry):
                 return jnp.maximum(lt_seg, jnp.minimum(bt, carry[0]))
@@ -1042,7 +1109,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     t_rows, a_rows, lb_rows, w_rows = [], [], [], []
                     for gi, g in enumerate(range(0, SUBLANES, G)):
                         gw = min(G, SUBLANES - g)
-                        tvg = tri_pair_ts(blk, featg[gi])   # [TB, gw*L]
+                        tvg = tri_pair_ts(blk, featg_cell[gi])  # [TB, gw*L]
                         # winner reduction + one-hot over the WHOLE
                         # group width: ONE pick matmul per group (the
                         # per-sublane picks were G small HIGHEST-
@@ -1100,8 +1167,24 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     jnp.zeros((A * SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), F32),
                     jnp.zeros((SUBLANES, LANES), I32))
-            t_tri, pick, lb, wid = tri_sweep(
-                body, init, (px, py, pz), inv3, lambda c: act, cbound)
+
+            def run(c):
+                feats = [tri_features(s, px, py, pz, qx, qy, qz)
+                         for s in range(SUBLANES)]
+                featg_cell[:] = [
+                    jnp.concatenate(feats[g:g + G], axis=1)
+                    for g in range(0, SUBLANES, G)]
+                return tri_sweep(body, c, (px, py, pz), inv3,
+                                 lambda c2: act, cbound, level0=False)
+
+            if _TRI_CULL:
+                hit0 = jnp.any(tri_cull_mask(
+                    np.int32((nblk + nsb) * 6), (px, py, pz), inv3, act,
+                    cbound(init)))
+                t_tri, pick, lb, wid = jax.lax.cond(
+                    hit0, run, lambda c: c, init)
+            else:
+                t_tri, pick, lb, wid = run(init)
             lb_tri = lb > 0.5
             attrs = [jnp.concatenate([pick[s * A + j:s * A + j + 1, :]
                                       for s in range(SUBLANES)], axis=0)
@@ -1109,7 +1192,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             return t_tri, attrs, lb_tri, wid
 
 
-        def tri_feeler_multi(px, py, pz, queries, act, pre_bl=None):
+        def tri_feeler_multi(px, py, pz, queries, act, pre_bl=None,
+                             precull=None):
             """ALL shadow-feeler queries of a shading step in ONE block
             sweep — the triangle extension of testShadowPath
             (primitives.cl:396-442), batched over the nl * n_samples
@@ -1132,28 +1216,44 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             pairs that can't occlude.  The AABB cull unions the query
             segments per lane (they share an origin and aim at the same
             light cluster, so the union is nearly as tight as any
-            single segment)."""
+            single segment).
+
+            ``precull``: list of (sdx, sdy, sdz, dist, radius) per
+            light — center direction, center distance, light radius.
+            When given, a per-light CAPSULE test (center segment vs the
+            whole-mesh AABB inflated by the light radius; every sample
+            segment lies inside that capsule) gates the ENTIRE feeler
+            sweep including the [S, Q*L] query-batch construction — at
+            4K most (tile, step) shades end at those nl cheap [S, L]
+            masks (r5)."""
             Q = len(queries)
             if Q == 0:
                 return [], []
-            # [S, Q*L] batch layout: query q occupies lane columns
-            # [q*L, (q+1)*L) of every sublane row
-            featQ_s = []
-            for s in range(SUBLANES):
-                feats = [tri_features(s, px, py, pz, qx, qy, qz)
-                         for (qx, qy, qz, _) in queries]
-                featQ_s.append(jnp.concatenate(feats, axis=1))  # [10, Q*L]
-            tmaxQ = jnp.concatenate(
-                [t for (_, _, _, t) in queries], axis=1)        # [S, Q*L]
-            dQ = tuple(jnp.concatenate([q[k] for q in queries], axis=1)
-                       for k in range(3))
-            oQ = tuple(jnp.concatenate([v] * Q, axis=1)
-                       for v in (px, py, pz))
-            actQ = jnp.concatenate([act] * Q, axis=1)
-            invQ = tri_inv3(dQ)
+            # the [S, Q*L] query batch is built inside run() (cells
+            # filled before body/fact are traced) so the capsule
+            # precull's false branch skips the construction cost too
+            cell = {}
+
+            def build_batch():
+                # [S, Q*L] layout: query q occupies lane columns
+                # [q*L, (q+1)*L) of every sublane row
+                featQ_s = []
+                for s in range(SUBLANES):
+                    feats = [tri_features(s, px, py, pz, qx, qy, qz)
+                             for (qx, qy, qz, _) in queries]
+                    featQ_s.append(jnp.concatenate(feats, axis=1))
+                cell["featQ_s"] = featQ_s
+                cell["tmaxQ"] = jnp.concatenate(
+                    [t for (_, _, _, t) in queries], axis=1)  # [S, Q*L]
+                dQ = tuple(jnp.concatenate(
+                    [q[k] for q in queries], axis=1) for k in range(3))
+                cell["oQ"] = tuple(jnp.concatenate([v] * Q, axis=1)
+                                   for v in (px, py, pz))
+                cell["actQ"] = jnp.concatenate([act] * Q, axis=1)
+                cell["invQ"] = tri_inv3(dQ)
 
             def fact(carry):
-                return actQ & (carry[0] < 0.5)
+                return cell["actQ"] & (carry[0] < 0.5)
 
             def body(b, slot, carry):
                 # drop lanes already known blocked, so shadowed regions
@@ -1165,15 +1265,20 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 # (measured: tile-cond-only regressed 55->65 ms on
                 # stage 5; the hybrid is the fastest of the three)
                 act_dyn = fact(carry)
-                mask = tri_cull_mask(b * np.int32(6), oQ, invQ, act_dyn,
-                                     tmaxQ)
+                mask = tri_cull_mask(b * np.int32(6), cell["oQ"],
+                                     cell["invQ"], act_dyn,
+                                     cell["tmaxQ"])
 
                 def hit_branch(c):
                     bl_c, cnt_c = c                         # [S, Q*L]
-                    blk, attr_blk = tri_load(b, slot)
-                    tr = tri_transp_col(attr_blk)
-                    wop = jnp.where(tr > 0.5, 1.0,
-                                    np.float32(2.0 * TB))
+                    if tri_opaque:
+                        blk, _ = tri_load(b, slot, attrs=False)
+                        wop = None
+                    else:
+                        blk, attr_blk = tri_load(b, slot)
+                        tr = tri_transp_col(attr_blk)
+                        wop = jnp.where(tr > 0.5, 1.0,
+                                        np.float32(2.0 * TB))
                     FG = TRI_FGROUP
 
                     def sgroup(g):
@@ -1189,10 +1294,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                                 q1 = min(q0 + TRI_FEELER_QCH, Q)
                                 sl = slice(q0 * LANES, q1 * LANES)
                                 sums.append(tri_pair_sum(
-                                    blk, featQ_s[s][:, sl],
-                                    tmaxQ[s:s + 1, sl], wop))
+                                    blk, cell["featQ_s"][s][:, sl],
+                                    cell["tmaxQ"][s:s + 1, sl], wop))
                             rows.append(jnp.concatenate(sums, axis=1))
                         sv = jnp.concatenate(rows, axis=0)   # [FG, Q*L]
+                        if tri_opaque:
+                            return sv, jnp.zeros_like(sv)
                         wtb = np.float32(2.0 * TB)
                         return ((sv >= wtb).astype(F32),
                                 sv - wtb * jnp.floor(sv / wtb))
@@ -1231,13 +1338,43 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 bl0 = jnp.concatenate(
                     [b.astype(F32) for b in pre_bl], axis=1)
             init = (bl0, jnp.zeros((SUBLANES, Q * LANES), F32))
-            bl_s, cnt_s = tri_sweep(body, init, oQ, invQ, fact,
-                                    lambda c: tmaxQ)
+
+            def run(c):
+                build_batch()
+                return tri_sweep(body, c, cell["oQ"], cell["invQ"],
+                                 fact, lambda c2: cell["tmaxQ"],
+                                 level0=False)
+
+            if _TRI_CULL and precull is not None:
+                # per-light capsule precull vs the whole-mesh AABB
+                sc_off = np.int32((nblk + nsb) * 6)
+                # a lane is live if any of its queries is unblocked
+                if pre_bl is None:
+                    live = act
+                else:
+                    all_bl = pre_bl[0]
+                    for bq in pre_bl[1:]:
+                        all_bl = all_bl & bq
+                    live = act & ~all_bl
+                hit0 = jnp.zeros((SUBLANES, LANES), jnp.bool_)
+                for (sdx, sdy, sdz, dist, lrad) in precull:
+                    invL = tri_inv3((sdx, sdy, sdz))
+                    hit0 = hit0 | tri_cull_mask(
+                        sc_off, (px, py, pz), invL, live, dist,
+                        inflate=lrad)
+                bl_s, cnt_s = jax.lax.cond(jnp.any(hit0), run,
+                                           lambda c: c, init)
+            else:
+                bl_s, cnt_s = run(init)
             lnt = np.float32(np.log(cfg.transparent_through))
             blocked = [bl_s[:, q * LANES:(q + 1) * LANES] > 0.5
                        for q in range(Q)]
-            opac = [jnp.exp(cnt_s[:, q * LANES:(q + 1) * LANES] * lnt)
-                    for q in range(Q)]
+            if tri_opaque:
+                opac = [jnp.ones((SUBLANES, LANES), F32)
+                        for _ in range(Q)]
+            else:
+                opac = [jnp.exp(cnt_s[:, q * LANES:(q + 1) * LANES]
+                                * lnt) for q in range(Q)]
             return blocked, opac
 
         def one_step(carry):
@@ -1527,11 +1664,36 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 # batched block sweep (tri_feeler_multi) — the per-sweep
                 # cull/cond machinery dominated mesh scenes when each
                 # sample swept the blocks on its own
-                queries, sp_bl, sp_op = [], [], []
+                queries, sp_bl, sp_op, precull = [], [], [], []
                 for i in range(nl):
                     lox, loy, loz = u("li_o", 3 * i), \
                         u("li_o", 3 * i + 1), u("li_o", 3 * i + 2)
                     lrad = u("li_r", i)
+                    # center direction/distance: reused by the feeler
+                    # capsule precull AND the backface gate below
+                    cdx, cdy, cdz = lox - phx, loy - phy, loz - phz
+                    cdist = jnp.sqrt(cdx * cdx + cdy * cdy + cdz * cdz)
+                    sdx_c, sdy_c, sdz_c = _normalize(cdx, cdy, cdz)
+                    precull.append((sdx_c, sdy_c, sdz_c, cdist, lrad))
+                    # backface gate (r5): pass 2's Phong weights for
+                    # light i use the CENTER direction sd — a lane whose
+                    # diffuse term (n.l <= 0 or diffuse weight 0) AND
+                    # specular term (specular weight 0, or n.h <= 0
+                    # with shininess > 0: the 1e-30 pow base
+                    # underflows) are both zero cannot see light i
+                    # regardless of its shadow ratio.  Pre-marking its
+                    # samples blocked (ssr contribution 0 — identical
+                    # image either way) drops the lane from every
+                    # feeler cull level; on meshes roughly half the hit
+                    # points face away from any given light
+                    hx_c, hy_c, hz_c = _normalize(
+                        vx_ + sdx_c, vy_ + sdy_c, vz_ + sdz_c)
+                    diff_dead = (_dot(nx, nyv, nz, sdx_c, sdy_c, sdz_c)
+                                 <= 0.0) | (m["diffuse"] <= 0.0)
+                    spec_dead = (m["specular"] <= 0.0) \
+                        | ((_dot(nx, nyv, nz, hx_c, hy_c, hz_c) <= 0.0)
+                           & (m["shininess"] > 0.0))
+                    dead_l = diff_dead & spec_dead
                     for _ in range(n_samples):
                         rng, r1 = _xorshift32(rng)
                         theta = two_pi * r1
@@ -1548,7 +1710,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         ddy = sy - phy
                         ddz = sz - phz
                         tmax = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                        blocked = jnp.zeros_like(done)
+                        blocked = dead_l
                         opac = jnp.ones_like(f)
                         for j in range(ns):
                             h, t = sphere_t(j, phx, phy, phz, qx, qy, qz)
@@ -1565,7 +1727,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 if nblk:
                     t_bls, t_ops = tri_feeler_multi(phx, phy, phz,
                                                     queries, is_solid,
-                                                    pre_bl=sp_bl)
+                                                    pre_bl=sp_bl,
+                                                    precull=precull)
                     sp_bl = [b | tb for b, tb in zip(sp_bl, t_bls)]
                     sp_op = [o * to for o, to in zip(sp_op, t_ops)]
                 # pass 2: per-light soft ratios + Phong
@@ -1861,7 +2024,8 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
     kernel = _make_kernel(
         lay, (atlas.tex_h, atlas.tex_w, atlas.n_textures, atlas.sky_base,
               atlas.sky_h, atlas.sky_w), cfg, width, height, gx,
-        nblk=tri.nblk if tri else 0, record=record, stream=stream, tb=tb)
+        nblk=tri.nblk if tri else 0, record=record, stream=stream, tb=tb,
+        tri_opaque=not tri.has_transp if tri else False)
 
     if tri:
         # SMEM AABB table: per-block entries then the superblock unions
