@@ -130,6 +130,27 @@ def main():
                                atol=1e-4)
     print("ok mesh2d", flush=True)
 
+    # scene parallelism on the FAST engine's triangle machinery
+    # (VERDICT r4 item 4): tri_query='pallas_interpret' routes every
+    # per-device triangle query through the megakernel's MXU block-sweep
+    # kernels (pallas_trace.tri_query_*) built from THAT device's
+    # triangle shard; the cross-axis reductions are identical.  Checked
+    # against the single-device tracer (atol covers bf16x3-vs-f32 pair
+    # rounding) and the 2-D pixels x triangles mesh variant likewise.
+    sp_pal = render_scene_parallel(tscene, assets, tbasis, tcfg, mesh,
+                                   tri_query="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(sp_pal), np.asarray(tref),
+                               atol=5e-3)
+    assert float(np.abs(np.asarray(sp_pal)
+                        - np.asarray(tref)).mean()) < 1e-4
+    print("ok pallas_scene_parallel", flush=True)
+
+    p2d = render_sharded_2d(tscene, assets, tbasis, tcfg, mesh2d,
+                            tri_query="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(p2d), np.asarray(tref),
+                               atol=5e-3)
+    print("ok pallas_mesh2d", flush=True)
+
     # streamed triangle blocks under shard_map: force the HBM-streaming
     # path (cap patched below a small mesh's count) and check the
     # row-sharded render equals the single-device streamed render —

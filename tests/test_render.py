@@ -182,6 +182,15 @@ class TestShardedRender:
     def test_2d_mesh_pixels_x_triangles(self):
         self._assert_ok("mesh2d")
 
+    def test_scene_parallel_on_pallas_query_kernels(self):
+        """VERDICT r4 item 4: triangles sharded across the mesh with
+        each device's queries running the megakernel's MXU block-sweep
+        kernels (tri_query='pallas_interpret')."""
+        self._assert_ok("pallas_scene_parallel")
+
+    def test_2d_mesh_on_pallas_query_kernels(self):
+        self._assert_ok("pallas_mesh2d")
+
     def test_streamed_tri_blocks_under_shard_map(self):
         self._assert_ok("pallas_stream")
 

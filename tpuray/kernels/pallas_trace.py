@@ -2412,3 +2412,398 @@ def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     scenes pack 15-bit winner ids into the node records; streamed
     scenes record full-width ids in their own plane."""
     return scene.num_triangles <= TRI_STREAM_MAX_TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# standalone triangle-query kernels: the megakernel's MXU block sweep
+# exposed as per-call primitives for the XLA tracer / scene parallelism
+# ---------------------------------------------------------------------------
+
+def _make_query_kernel(nblk: int, nsb: int, tb: int, mode: str,
+                       inclusive: bool = False):
+    """Tile kernel for one ray-array triangle query (no DFS, no shading).
+
+    ``mode``: 'closest' -> (t [S,L] f32 (INF miss), wid [S,L] i32);
+    'blocker' -> (blocked [S,L] f32 0/1, transparent-crossing count
+    [S,L] f32) within per-ray tmax.  Same three-level AABB cull, MXU
+    Moller-Trumbore bilinear forms and bf16x3 precision discipline as
+    the megakernel's in-DFS sweeps (tri_closest / tri_feeler_multi),
+    minus the per-step machinery — this is the unit the XLA tracer's
+    scene-parallel path shards across devices (each device sweeps its
+    own blocks; t/id/blocked/count combine with pmin/pmax/psum OUTSIDE,
+    kernels/trace.py::_tri_closest/_tri_any_blocker)."""
+    TB = tb
+    G = TRI_CGROUP
+    INF = np.float32(np.inf)
+
+    def kernel(aabb, tri_b, tri_attr, rays, *outs):
+        def comp(i):
+            return rays[pl.ds(i * SUBLANES, SUBLANES), :]
+
+        ox, oy, oz = comp(0), comp(1), comp(2)
+        dx, dy, dz = comp(3), comp(4), comp(5)
+        if mode == "blocker":
+            tmax = comp(6)
+            act = tmax > 0
+            bound0 = tmax
+        else:
+            act = jnp.ones((SUBLANES, LANES), jnp.bool_)
+            bound0 = jnp.full((SUBLANES, LANES), INF)
+
+        inv3 = tuple(
+            1.0 / jnp.where(jnp.abs(v) < np.float32(1e-12),
+                            np.float32(1e-12), v)
+            for v in (dx, dy, dz))
+        o3 = (ox, oy, oz)
+
+        def cull_mask(off, a, bound):
+            tmn = jnp.zeros_like(bound)
+            tmx = bound
+            for k in range(3):
+                lo = aabb[off + k]
+                hi = aabb[off + 3 + k]
+                t0 = (lo - o3[k]) * inv3[k]
+                t1 = (hi - o3[k]) * inv3[k]
+                tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+            return (tmx >= tmn) & (tmx >= 0) & a
+
+        def features(s):
+            o1, o2, o3_ = ox[s:s + 1, :], oy[s:s + 1, :], oz[s:s + 1, :]
+            d1, d2, d3 = dx[s:s + 1, :], dy[s:s + 1, :], dz[s:s + 1, :]
+            c1 = o2 * d3 - o3_ * d2
+            c2 = o3_ * d1 - o1 * d3
+            c3 = o1 * d2 - o2 * d1
+            return jnp.concatenate(
+                [o1, o2, o3_, d1, d2, d3, c1, c2, c3,
+                 jnp.ones((1, LANES), F32)], axis=0)
+
+        def pair_M(blk, feat):
+            dims = (((0,), (0,)), ((), ()))
+            if _TRI_DOT_PRECISION == "bf16x3":
+                def hi_lo(x):
+                    h = x.astype(jnp.bfloat16).astype(F32)
+                    return h, x - h
+                bh, bl_ = hi_lo(blk)
+                fh, fl_ = hi_lo(feat)
+                return (jax.lax.dot_general(
+                            bh, fh, dims, preferred_element_type=F32)
+                        + jax.lax.dot_general(
+                            bh, fl_, dims, preferred_element_type=F32)
+                        + jax.lax.dot_general(
+                            bl_, fh, dims, preferred_element_type=F32))
+            return jax.lax.dot_general(
+                blk, feat, dims, preferred_element_type=F32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if _TRI_DOT_PRECISION == "bf16x3"
+                           else _TRI_DOT_PRECISION))
+
+        featg_cell = []
+
+        if mode == "closest":
+            def bound_of(carry):
+                return jnp.minimum(bound0, carry[0])
+
+            def body(b, slot, carry):
+                del slot
+                tb_c, wid_c = carry
+
+                def hit_branch(c):
+                    tb_c2, wid_c2 = c
+                    blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]
+                    t_rows, w_rows = [], []
+                    for gi, g in enumerate(range(0, SUBLANES, G)):
+                        gw = min(G, SUBLANES - g)
+                        M = pair_M(blk, featg_cell[gi])
+                        det = M[0 * TB:1 * TB, :]
+                        tn = M[1 * TB:2 * TB, :]
+                        un = M[2 * TB:3 * TB, :]
+                        vn = M[3 * TB:4 * TB, :]
+                        m3 = jnp.minimum(jnp.minimum(un * det, vn * det),
+                                         (det - un - vn) * det)
+                        okv = (m3 >= 0) & (tn * det > 0) \
+                            & (jnp.abs(det) > np.float32(1e-7))
+                        tv = jnp.where(
+                            okv, tn / jnp.where(det == 0, 1.0, det), INF)
+                        tmin_g = jnp.min(tv, axis=0, keepdims=True)
+                        ridx = jax.lax.broadcasted_iota(
+                            I32, (TB, gw * LANES), 0)
+                        first_g = jnp.min(
+                            jnp.where(tv == tmin_g, ridx, np.int32(TB)),
+                            axis=0, keepdims=True)
+                        for i in range(gw):
+                            s = g + i
+                            sl = slice(i * LANES, (i + 1) * LANES)
+                            tmin = tmin_g[:, sl]
+                            better = tmin < tb_c2[s:s + 1, :]
+                            t_rows.append(jnp.where(
+                                better, tmin, tb_c2[s:s + 1, :]))
+                            w_rows.append(jnp.where(
+                                better, b * np.int32(TB) + first_g[:, sl],
+                                wid_c2[s:s + 1, :]))
+                    return (jnp.concatenate(t_rows, axis=0),
+                            jnp.concatenate(w_rows, axis=0))
+
+                if _TRI_CULL:
+                    return jax.lax.cond(
+                        jnp.any(cull_mask(b * np.int32(6), act,
+                                          bound_of(carry))),
+                        hit_branch, lambda c: c, carry)
+                return hit_branch(carry)
+
+            init = (jnp.full((SUBLANES, LANES), INF),
+                    jnp.zeros((SUBLANES, LANES), I32))
+        else:
+            def bound_of(carry):
+                return bound0
+
+            def fact(carry):
+                return act & (carry[0] < 0.5)
+
+            def body(b, slot, carry):
+                del slot
+                mask = cull_mask(b * np.int32(6), fact(carry), bound0)
+
+                def hit_branch(c):
+                    bl_c, cnt_c = c
+                    blk = tri_b[:, pl.ds(b * 4 * TB, 4 * TB)]
+                    tr = jnp.transpose(
+                        tri_attr[TRI_TRANSP_ROW:TRI_TRANSP_ROW + 1,
+                                 pl.ds(b * TB, TB)])
+                    wop = jnp.where(tr > 0.5, 1.0, np.float32(2.0 * TB))
+                    bl_rows, cnt_rows = [], []
+                    for g in range(0, SUBLANES, G):
+                        gw = min(G, SUBLANES - g)
+                        M = pair_M(blk, featg_cell[g // G])
+                        det = M[0 * TB:1 * TB, :]
+                        tn = M[1 * TB:2 * TB, :]
+                        un = M[2 * TB:3 * TB, :]
+                        vn = M[3 * TB:4 * TB, :]
+                        m3 = jnp.minimum(jnp.minimum(un * det, vn * det),
+                                         (det - un - vn) * det)
+                        okv = (m3 >= 0) & (tn * det > 0) \
+                            & (jnp.abs(det) > np.float32(1e-7))
+                        tv = jnp.where(
+                            okv, tn / jnp.where(det == 0, 1.0, det), INF)
+                        for i in range(gw):
+                            s = g + i
+                            sl = slice(i * LANES, (i + 1) * LANES)
+                            tvs = tv[:, sl]
+                            tm = tmax[s:s + 1, :]
+                            within = tvs <= tm if inclusive else tvs < tm
+                            rel = (tvs < INF) & within & (tvs > 0)
+                            sv = jnp.sum(jnp.where(rel, wop, 0.0),
+                                         axis=0, keepdims=True)
+                            wtb = np.float32(2.0 * TB)
+                            bl_rows.append(jnp.maximum(
+                                bl_c[s:s + 1, :], (sv >= wtb).astype(F32)))
+                            cnt_rows.append(
+                                cnt_c[s:s + 1, :]
+                                + (sv - wtb * jnp.floor(sv / wtb)))
+                    return (jnp.concatenate(bl_rows, axis=0),
+                            jnp.concatenate(cnt_rows, axis=0))
+
+                if _TRI_CULL:
+                    return jax.lax.cond(jnp.any(mask), hit_branch,
+                                        lambda c: c, carry)
+                return hit_branch(carry)
+
+            init = (jnp.zeros((SUBLANES, LANES), F32),
+                    jnp.zeros((SUBLANES, LANES), F32))
+
+        def seg_loop(b0, b1, c):
+            return jax.lax.fori_loop(
+                b0, b1, lambda b, c2: body(b, b, c2), c)
+
+        use_sb = _TRI_CULL and nblk > TRI_SB
+
+        def run_all(c):
+            if not use_sb:
+                return seg_loop(np.int32(0), np.int32(nblk), c)
+
+            def sb_body(sb, carry):
+                hit = jnp.any(cull_mask(
+                    np.int32(nblk * 6) + sb * np.int32(6),
+                    act if mode == "closest" else fact(carry),
+                    bound_of(carry)))
+                b0 = sb * np.int32(TRI_SB)
+                return jax.lax.cond(
+                    hit,
+                    lambda c2: seg_loop(
+                        b0, jnp.minimum(b0 + np.int32(TRI_SB),
+                                        np.int32(nblk)), c2),
+                    lambda c2: c2, carry)
+
+            return jax.lax.fori_loop(0, nsb, sb_body, c)
+
+        def run(c):
+            feats = [features(s) for s in range(SUBLANES)]
+            featg_cell[:] = [jnp.concatenate(feats[g:g + G], axis=1)
+                             for g in range(0, SUBLANES, G)]
+            return run_all(c)
+
+        if _TRI_CULL:
+            hit0 = jnp.any(cull_mask(np.int32((nblk + nsb) * 6), act,
+                                     bound0))
+            res = jax.lax.cond(hit0, run, lambda c: c, init)
+        else:
+            res = run(init)
+        outs[0][:] = res[0]
+        outs[1][:] = res[1]
+
+    return kernel
+
+
+def _query_rays(tri: TriBlocks, o, d, tmax=None, inclusive=False,
+                interpret=False):
+    """Run one triangle query over a ray array.
+
+    ``o, d`` [P, 3]; returns (t [P], wid [P]) without ``tmax``
+    (closest mode) or (blocked [P] bool, count [P] i32) with it.
+    Rays are padded to whole 16x128 tiles; pad lanes carry a zero
+    direction (slab intervals collapse -> culled) and, in blocker
+    mode, tmax = 0 (inactive)."""
+    mode = "blocker" if tmax is not None else "closest"
+    p = o.shape[0]
+    rows = 7 if mode == "blocker" else 6
+    n_t = max(1, -(-p // TILE))
+    pad = n_t * TILE - p
+
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    if mode == "blocker":
+        comps.append(tmax)
+    packed = jnp.stack([jnp.pad(c.astype(F32), (0, pad)) for c in comps])
+    rays = packed.reshape(rows, n_t, SUBLANES, LANES).transpose(1, 0, 2, 3) \
+        .reshape(n_t, rows * SUBLANES, LANES)
+
+    _cat = (np.concatenate if isinstance(tri.aabb, np.ndarray)
+            else jnp.concatenate)
+    aabb_smem = _cat([tri.aabb, tri.sb_aabb, tri.sc_aabb])
+
+    kernel = _make_query_kernel(tri.nblk, tri.nsb, TRI_TB, mode,
+                                inclusive)
+    out_dtypes = ((F32, I32) if mode == "closest" else (F32, F32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((None, rows * SUBLANES, LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((None, SUBLANES, LANES),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n_t, SUBLANES, LANES), dt)
+                   for dt in out_dtypes],
+        interpret=interpret,
+    )(aabb_smem, tri.b_lhs, tri.attr, rays)
+    a = outs[0].reshape(-1)[:p]
+    b = outs[1].reshape(-1)[:p]
+    if mode == "closest":
+        return a, b
+    return a > 0.5, b.astype(I32)
+
+
+def tri_query_closest(scene_or_blocks, o, d, interpret=False):
+    """(t_best [P] (INF miss), winner id [P]) — the Pallas counterpart
+    of trace.py::_tri_closest_arrays.  Accepts a Scene or a prebuilt
+    TriBlocks (per-device shards under scene parallelism build blocks
+    from their triangle slice)."""
+    tri = (scene_or_blocks if isinstance(scene_or_blocks, TriBlocks)
+           else build_tri_blocks(scene_or_blocks))
+    return _query_rays(tri, o, d, interpret=interpret)
+
+
+def tri_query_blocker(scene_or_blocks, o, d, tmax, inclusive=False,
+                      interpret=False):
+    """(blocked [P] bool, transparent-crossing count [P] i32) — the
+    Pallas counterpart of trace.py::_tri_blocker_arrays."""
+    tri = (scene_or_blocks if isinstance(scene_or_blocks, TriBlocks)
+           else build_tri_blocks(scene_or_blocks))
+    return _query_rays(tri, o, d, tmax=tmax, inclusive=inclusive,
+                       interpret=interpret)
+
+
+def build_query_blocks(v0, v1, v2, transp, tb: int = None) -> TriBlocks:
+    """TriBlocks for the standalone query kernels from RAW triangle
+    arrays ([T, 3] vertices + [T] transparent flags) — the shard-local
+    builder for scene parallelism (each device passes its own slice;
+    zero-padded rows are degenerate and never hit).  Same b_lhs/AABB
+    construction as build_tri_blocks; the attr table is minimal (only
+    the transparent row is populated — the query kernels never pick
+    materials).  Works on traced arrays (inside jit/shard_map)."""
+    tb = TRI_TB if tb is None else tb
+    t_count = v0.shape[0]
+    concrete = not any(isinstance(a, jax.core.Tracer)
+                       for a in (v0, v1, v2, transp))
+    xp = np if concrete else jnp
+    nblk = max(1, -(-t_count // tb))
+    tp = nblk * tb
+    pad = tp - t_count
+
+    def as_f32(a):
+        return np.asarray(a, np.float32) if concrete else a.astype(F32)
+
+    v0f, v1f, v2f = as_f32(v0), as_f32(v1), as_f32(v2)
+    z3 = xp.zeros((pad, 3), F32)
+    v0z, v1z, v2z = (xp.concatenate([v, z3]) for v in (v0f, v1f, v2f))
+    e1 = v1z - v0z
+    e2 = v2z - v0z
+    n = xp.cross(e1, e2)
+    inv_n = 1.0 / xp.maximum(
+        xp.sqrt(xp.sum(n * n, axis=1, keepdims=True)), np.float32(1e-30))
+    nrm = n * inv_n
+    e1n = e1 * inv_n
+    e2n = e2 * inv_n
+    m1 = xp.cross(v0z, e2n)
+    m2 = xp.cross(v0z, e1n)
+    c0 = xp.sum(v0z * nrm, axis=1)
+    zc = xp.zeros((tp, 3), F32)
+    z1 = xp.zeros((tp, 1), F32)
+    det_r = xp.concatenate([zc, -nrm, zc, z1], axis=1)
+    tn_r = xp.concatenate([nrm, zc, zc, -c0[:, None]], axis=1)
+    un_r = xp.concatenate([zc, m1, e2n, z1], axis=1)
+    vn_r = xp.concatenate([zc, -m2, -e1n, z1], axis=1)
+    full = xp.stack([det_r, tn_r, un_r, vn_r])               # [4, Tp, 10]
+    b_lhs = full.reshape(4, nblk, tb, 10).transpose(3, 1, 0, 2) \
+        .reshape(10, nblk * 4 * tb)
+
+    attr = xp.zeros((TRI_ATTR_ROWS, tp), F32)
+    trp = xp.concatenate([as_f32(transp), xp.zeros((pad,), F32)])
+    if concrete:
+        attr[TRI_TRANSP_ROW] = trp
+    else:
+        attr = attr.at[TRI_TRANSP_ROW].set(trp)
+
+    # zero-pad AABBs would anchor empty pad blocks at the origin and
+    # defeat the cull; repeat the last real triangle like build_tri_blocks
+    rep = lambda v: xp.concatenate(                          # noqa: E731
+        [v, xp.repeat(v[-1:], pad, axis=0)]) if t_count else v0z
+    v0e, v1e, v2e = rep(v0f), rep(v1f), rep(v2f)
+    lo = xp.minimum(xp.minimum(v0e, v1e), v2e) \
+        .reshape(nblk, tb, 3).min(axis=1)
+    hi = xp.maximum(xp.maximum(v0e, v1e), v2e) \
+        .reshape(nblk, tb, 3).max(axis=1)
+    aabb = xp.concatenate([lo, hi], axis=1).reshape(-1)
+    nsb = -(-nblk // TRI_SB)
+    sb_pad = nsb * TRI_SB - nblk
+    lo_p = xp.concatenate([lo, xp.full((sb_pad, 3), np.float32(np.inf))])
+    hi_p = xp.concatenate([hi, xp.full((sb_pad, 3), np.float32(-np.inf))])
+    sb_lo = lo_p.reshape(nsb, TRI_SB, 3).min(axis=1)
+    sb_hi = hi_p.reshape(nsb, TRI_SB, 3).max(axis=1)
+    sb_aabb = xp.concatenate([sb_lo, sb_hi], axis=1).reshape(-1)
+    sc_aabb = xp.concatenate([lo.min(axis=0), hi.max(axis=0)])
+    if concrete:
+        b_lhs = b_lhs.astype(np.float32)
+        attr = attr.astype(np.float32)
+        aabb = aabb.astype(np.float32)
+        sb_aabb = sb_aabb.astype(np.float32)
+        sc_aabb = sc_aabb.astype(np.float32)
+    has_transp = True
+    if concrete:
+        has_transp = bool(np.any(np.asarray(transp) > 0.5))
+    return TriBlocks(b_lhs=b_lhs, attr=attr, aabb=aabb, nblk=nblk,
+                     sb_aabb=sb_aabb, nsb=nsb, sc_aabb=sc_aabb,
+                     has_transp=has_transp)

@@ -30,6 +30,8 @@ Two loop modes (config.loop):
 """
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -121,6 +123,66 @@ def _plane_ts(scene: Scene, o, d):
 _TRI_TILE = 512
 _TRI_NO_ID = I32(2 ** 30)
 
+# --- triangle-query engine -------------------------------------------------
+# 'xla' (default): the pure-jnp tiled scans below.  'pallas': the
+# megakernel's MXU block-sweep exposed as standalone query kernels
+# (pallas_trace.tri_query_*) — the same brute-force-per-block model at
+# megakernel-class speed, usable per device under scene parallelism
+# (each device sweeps the blocks built from ITS triangle shard and the
+# pmin/pmax/psum reductions below are unchanged).  'pallas_interpret':
+# same kernels in Pallas interpret mode (the virtual-CPU sharding rig).
+# Selected with the tri_query_mode() context or TPURAY_TRI_QUERY.
+_TRI_QUERY = {"mode": os.environ.get("TPURAY_TRI_QUERY", "xla"),
+              "blocks": None, "gid0": None}
+
+
+@contextlib.contextmanager
+def tri_query_mode(mode: str):
+    """Select the triangle-query engine for trace_rays calls traced
+    under this context ('xla' | 'pallas' | 'pallas_interpret')."""
+    if mode not in ("xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown tri_query mode {mode!r}")
+    old = _TRI_QUERY["mode"]
+    _TRI_QUERY["mode"] = mode
+    try:
+        yield
+    finally:
+        _TRI_QUERY["mode"] = old
+
+
+@contextlib.contextmanager
+def _query_blocks_ctx(scene: Scene, tri_axis, tri_shards: int):
+    """Build the Pallas query TriBlocks ONCE per trace (outside the
+    bounce loop, so the table construction is not re-traced into every
+    step) and expose them to _tri_closest/_tri_any_blocker.  Under
+    scene parallelism the blocks come from THIS device's triangle
+    shard (zero-padded rows are degenerate and never hit)."""
+    mode = _TRI_QUERY["mode"]
+    if mode == "xla" or scene.num_triangles == 0:
+        yield
+        return
+    from .pallas_trace import TRI_MAX_TRIANGLES, build_query_blocks
+    if tri_axis is not None and tri_shards > 1:
+        v0, v1, v2, transp, gid0, _ = _tri_shard(scene, tri_axis,
+                                                 tri_shards)
+    else:
+        v0, v1, v2 = scene.tri_v0, scene.tri_v1, scene.tri_v2
+        transp = scene.tri_mat.transparent
+        gid0 = I32(0)
+    if v0.shape[0] > TRI_MAX_TRIANGLES:
+        # the query kernels are VMEM-resident only; oversized shards
+        # fall back to the XLA scan (the streamed path covers the
+        # megakernel engine, not these standalone queries)
+        yield
+        return
+    old = (_TRI_QUERY["blocks"], _TRI_QUERY["gid0"])
+    _TRI_QUERY["blocks"] = build_query_blocks(v0, v1, v2, transp)
+    _TRI_QUERY["gid0"] = gid0
+    try:
+        yield
+    finally:
+        _TRI_QUERY["blocks"], _TRI_QUERY["gid0"] = old
+
 
 def _tri_shard(scene: Scene, tri_axis: str, tri_shards: int):
     """This device's triangle range under scene parallelism.
@@ -208,14 +270,30 @@ def _tri_closest(scene: Scene, o, d, tri_axis=None,
     if t_count == 0:
         return jnp.full((p,), INF, F32), jnp.zeros((p,), I32)
 
+    qb = _TRI_QUERY["blocks"]
     if tri_axis is not None and tri_shards > 1:
-        v0, v1, v2, _, gid0, n_valid = _tri_shard(scene, tri_axis,
-                                                  tri_shards)
-        t_loc, i_loc = _tri_closest_arrays(v0, v1, v2, n_valid, o, d)
+        if qb is not None:
+            from .pallas_trace import _query_rays
+            t_loc, i_loc = _query_rays(
+                qb, o, d,
+                interpret=_TRI_QUERY["mode"] == "pallas_interpret")
+            gid0 = _TRI_QUERY["gid0"]
+        else:
+            v0, v1, v2, _, gid0, n_valid = _tri_shard(scene, tri_axis,
+                                                      tri_shards)
+            t_loc, i_loc = _tri_closest_arrays(v0, v1, v2, n_valid, o, d)
         t_g = jax.lax.pmin(t_loc, tri_axis)
-        gwin = jnp.where(t_loc == t_g, i_loc + gid0, _TRI_NO_ID)
+        gwin = jnp.where((t_loc == t_g) & jnp.isfinite(t_g),
+                         i_loc + gid0, _TRI_NO_ID)
         i_g = jax.lax.pmin(gwin, tri_axis)
         return t_g, jnp.clip(i_g, 0, t_count - 1)
+
+    if qb is not None:
+        from .pallas_trace import _query_rays
+        t_loc, i_loc = _query_rays(
+            qb, o, d,
+            interpret=_TRI_QUERY["mode"] == "pallas_interpret")
+        return t_loc, jnp.clip(i_loc, 0, t_count - 1)
 
     pad = (-t_count) % _TRI_TILE if t_count > _TRI_TILE else 0
     v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
@@ -275,13 +353,26 @@ def _tri_any_blocker(scene: Scene, o, d, tmax, inclusive: bool,
     if t_count == 0:
         return jnp.zeros((p,), bool), jnp.ones((p,), F32)
 
+    qb = _TRI_QUERY["blocks"]
     if tri_axis is not None and tri_shards > 1:
-        v0, v1, v2, transp, _, n_valid = _tri_shard(scene, tri_axis,
-                                                    tri_shards)
-        blocked, cnt = _tri_blocker_arrays(v0, v1, v2, transp, n_valid,
-                                           o, d, tmax, inclusive)
+        if qb is not None:
+            from .pallas_trace import _query_rays
+            blocked, cnt = _query_rays(
+                qb, o, d, tmax=tmax, inclusive=inclusive,
+                interpret=_TRI_QUERY["mode"] == "pallas_interpret")
+        else:
+            v0, v1, v2, transp, _, n_valid = _tri_shard(scene, tri_axis,
+                                                        tri_shards)
+            blocked, cnt = _tri_blocker_arrays(v0, v1, v2, transp,
+                                               n_valid, o, d, tmax,
+                                               inclusive)
         blocked = jax.lax.pmax(blocked.astype(I32), tri_axis) > 0
         cnt = jax.lax.psum(cnt, tri_axis)
+    elif qb is not None:
+        from .pallas_trace import _query_rays
+        blocked, cnt = _query_rays(
+            qb, o, d, tmax=tmax, inclusive=inclusive,
+            interpret=_TRI_QUERY["mode"] == "pallas_interpret")
     else:
         pad = (-t_count) % _TRI_TILE if t_count > _TRI_TILE else 0
         v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
@@ -729,7 +820,18 @@ def trace_rays(scene: Scene, assets: SceneAssets, o, d, pixel_ids,
     rays and all non-triangle work are replicated.  Divides the
     dominant O(rays * triangles) brute-force cost for large meshes; the
     (tiny) scene tables stay replicated.  Composes with pixel row
-    sharding on a 2D mesh (parallel/shard.py render_sharded_2d)."""
+    sharding on a 2D mesh (parallel/shard.py render_sharded_2d).
+
+    Under ``tri_query_mode('pallas')`` the per-device triangle queries
+    run the megakernel MXU block-sweep kernels instead of the jnp
+    scans (same reductions across the axis)."""
+    with _query_blocks_ctx(scene, tri_axis, tri_shards):
+        return _trace_rays_inner(scene, assets, o, d, pixel_ids, cfg,
+                                 tri_axis, tri_shards)
+
+
+def _trace_rays_inner(scene, assets, o, d, pixel_ids, cfg, tri_axis,
+                      tri_shards):
     st = _init_state(o, d, pixel_ids, cfg)
 
     if cfg.loop == "while":

@@ -96,10 +96,12 @@ def render_sharded(scene: Scene, assets: SceneAssets, basis: PerspectiveBasis,
 TRI_AXIS = "tri"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "tri_query"))
 def render_scene_parallel(scene: Scene, assets: SceneAssets,
                           basis: PerspectiveBasis, cfg: RenderConfig,
-                          mesh: Mesh) -> jnp.ndarray:
+                          mesh: Mesh,
+                          tri_query: str = "auto") -> jnp.ndarray:
     """Scene-parallel forward render: TRIANGLES sharded over ``mesh``.
 
     The renderer's tensor parallelism (SURVEY.md §2 scene-parallel row):
@@ -117,6 +119,10 @@ def render_scene_parallel(scene: Scene, assets: SceneAssets,
     mesh-heavy scenes this is the multi-chip scaling axis that pixel
     sharding cannot provide when the image is small.
     """
+    if tri_query == "auto":
+        # the MXU query kernels are the point of scene parallelism on
+        # hardware; virtual-CPU rigs would pay interpret-mode cost
+        tri_query = "pallas" if jax.default_backend() != "cpu" else "xla"
     if len(mesh.axis_names) != 1:
         raise ValueError(
             f"render_scene_parallel shards over a 1-D mesh; got axes "
@@ -127,22 +133,31 @@ def render_scene_parallel(scene: Scene, assets: SceneAssets,
     origins, dirs = generate_rays(basis, cfg.width, cfg.height)
     ids = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
+    # check_vma=False: tri_query='pallas' runs pallas_call inside the
+    # shard (its ShapeDtypeStruct outputs carry no vma annotation)
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(None), P(None), P(None)),
-        out_specs=P(None))
+        out_specs=P(None), check_vma=False)
     def shard_trace(scene_, assets_, o, d, pid):
-        return trace_rays(scene_, assets_, o, d, pid, cfg,
-                          tri_axis=axis, tri_shards=n)
+        # tri_query='pallas': each device's queries run the megakernel
+        # MXU block-sweep kernels on ITS triangle shard (the cross-axis
+        # reductions are unchanged) — scene parallelism on the fast
+        # engine's triangle machinery (VERDICT r4 item 4)
+        from ..kernels.trace import tri_query_mode
+        with tri_query_mode(tri_query):
+            return trace_rays(scene_, assets_, o, d, pid, cfg,
+                              tri_axis=axis, tri_shards=n)
 
     rgb = shard_trace(scene, assets, origins, dirs, ids)
     return rgb.reshape(cfg.height, cfg.width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "tri_query"))
 def render_sharded_2d(scene: Scene, assets: SceneAssets,
                       basis: PerspectiveBasis, cfg: RenderConfig,
-                      mesh: Mesh) -> jnp.ndarray:
+                      mesh: Mesh, tri_query: str = "auto") -> jnp.ndarray:
     """2-D parallel forward render: pixels x triangles over a 2-D mesh.
 
     ``mesh`` must have axes (AXIS, TRI_AXIS) = ("tiles", "tri"): the
@@ -153,6 +168,8 @@ def render_sharded_2d(scene: Scene, assets: SceneAssets,
     along the faster ICI dimension since it carries the per-step
     collectives.
     """
+    if tri_query == "auto":
+        tri_query = "pallas" if jax.default_backend() != "cpu" else "xla"
     n_tiles = mesh.shape[AXIS]
     n_tri = mesh.shape[TRI_AXIS]
     n_pix = cfg.num_pixels
@@ -168,10 +185,12 @@ def render_sharded_2d(scene: Scene, assets: SceneAssets,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS))
+        out_specs=P(AXIS), check_vma=False)
     def shard_trace(scene_, assets_, o, d, pid):
-        return trace_rays(scene_, assets_, o, d, pid, cfg,
-                          tri_axis=TRI_AXIS, tri_shards=n_tri)
+        from ..kernels.trace import tri_query_mode
+        with tri_query_mode(tri_query):
+            return trace_rays(scene_, assets_, o, d, pid, cfg,
+                              tri_axis=TRI_AXIS, tri_shards=n_tri)
 
     rgb = shard_trace(scene, assets, origins, dirs, ids)
     return rgb[:n_pix].reshape(cfg.height, cfg.width, 3)
