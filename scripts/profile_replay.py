@@ -1,11 +1,16 @@
 """Chained-timing profile of the replay VJP at 512x384 d3 (BASELINE row).
 
+    python scripts/profile_replay.py [depth] [--json] [width height]
+
 Loop-carried dependency: each iteration perturbs sphere_radius by the
 accumulated scalar so XLA cannot hoist the body (naive `x + 0*i` gets
 constant-folded and the whole loop collapses to one iteration).
 """
-import sys, time, functools
+import json, sys, time, functools
 sys.path.insert(0, "/root/repo")
+JSON_OUT = "--json" in sys.argv
+if JSON_OUT:
+    sys.argv.remove("--json")
 import jax, jax.numpy as jnp, numpy as np
 from tpuray.camera import Camera, perspective_basis
 from tpuray.config import (GOLDEN_CAMERA_LOOKDIR, GOLDEN_CAMERA_ORIGIN,
@@ -52,7 +57,11 @@ def timed(label, fn):
             b = min(b, time.perf_counter() - t0)
         return b
     per = (best(CHAIN) - best(1)) / (CHAIN - 1)
-    print(f"{label:40s} {per*1e3:8.2f} ms", flush=True)
+    if JSON_OUT:
+        print(json.dumps({"what": label, "ms": round(per * 1e3, 2),
+                          "config": f"{W}x{H}_d{D}"}), flush=True)
+    else:
+        print(f"{label:40s} {per*1e3:8.2f} ms", flush=True)
 
 def scene_eps(eps):
     return scene._replace(sphere_radius=scene.sphere_radius + eps)

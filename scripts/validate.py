@@ -93,6 +93,25 @@ def run_invrender():
                                                             1e-9), 4)}
 
 
+def run_replay():
+    """Replay-VJP loss+grad rows: the BASELINE 512x384 d3 config and the
+    800x600 depth-15 deep-trace config (VERDICT r4 item 7 — the backward
+    cost at Krec=48 must be measured, not assumed)."""
+    rows = []
+    for argv in (["3", "--json"], ["15", "--json", "800", "600"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "profile_replay.py")] + argv,
+            capture_output=True, text=True, timeout=3600, cwd=REPO)
+        got = [json.loads(l) for l in out.stdout.splitlines()
+               if l.strip().startswith("{")]
+        if not got:
+            raise RuntimeError(f"profile_replay {argv} produced no rows:"
+                               f"\n{out.stdout}\n{out.stderr[-2000:]}")
+        rows.extend(got)
+    return rows
+
+
 def run_bench():
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, timeout=1200,
@@ -112,6 +131,7 @@ def main(argv=None):
     ap.add_argument("--stages", default="1,2,3,4,5,6")
     ap.add_argument("--skip-stages", action="store_true")
     ap.add_argument("--skip-invrender", action="store_true")
+    ap.add_argument("--skip-replay", action="store_true")
     args = ap.parse_args(argv)
     out_path = args.out or os.path.join(REPO,
                                         f"RESULTS_r{args.round}.json")
@@ -134,6 +154,12 @@ def main(argv=None):
         print("== invrender recovery ==", flush=True)
         results["invrender"] = run_invrender()
         print(json.dumps(results["invrender"]), flush=True)
+
+    if not args.skip_replay:
+        print("== replay VJP ==", flush=True)
+        results["replay"] = run_replay()
+        for r in results["replay"]:
+            print(json.dumps(r), flush=True)
 
     print("== headline bench ==", flush=True)
     results["bench"] = run_bench()

@@ -84,7 +84,14 @@ CHUNK_EV = 9_000_000
 # up to GATHER_FAST_ELEMS with EV_NONE events (weight 0, row-0 fetches):
 # N*11.4ns > GATHER_FAST_ELEMS*2.2ns crosses over at ~0.6M elements.
 GATHER_FAST_ELEMS = 3_145_728
-GATHER_PAD_MIN = 600_000
+# Below the cliff a flat ELEMENT gather (~7 ns/element, size-independent)
+# beats the unpadded row-gather (~11 ns) — and padding a row-gather up to
+# the cliff only beats 7 ns/element above ~1M elements
+# (7 ns * N > 2.2 ns * GATHER_FAST_ELEMS at N ~ 0.99M), so small-image
+# resolves (stage 1: 65k events) use the element path (r5; was the
+# stage-1 constant-cost item, ROADMAP 3 / VERDICT r4 item 8)
+ELEM_GATHER_MAX = 1_000_000
+GATHER_PAD_MIN = ELEM_GATHER_MAX
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +308,14 @@ _TRI_PICK_PRECISION = (jax.lax.Precision.DEFAULT
                        if int(os.environ.get("TPURAY_TRI_PICK_BF16", "0"))
                        else jax.lax.Precision.HIGHEST)
 _TRI_DEBUG = int(os.environ.get("TPURAY_TRI_DEBUG", "0"))
+# compacted hit-block lists (r5): sweeps precompute ALL block hits in
+# one vectorized pass and loop over only the hit blocks — one scalar
+# sync per HIT block instead of one per block.  0 restores the
+# per-block cond machinery (A/B knob)
+_TRI_COMPACT = int(os.environ.get("TPURAY_TRI_COMPACT", "1"))
+# experiment: feeler blocks run all sublane groups unconditionally
+# (skips the exact per-block mask + per-group conds; same results)
+_TRI_FEELER_NOCOND = int(os.environ.get("TPURAY_TRI_FEELER_NOCOND", "0"))
 
 
 class TriBlocks(NamedTuple):
@@ -639,15 +654,18 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
     def kernel(*refs):
         if nblk:
-            # triangle scenes: AABBs in SMEM; matmul blocks + attrs in
-            # VMEM, or (stream mode, > TRI_MAX_TRIANGLES) in HBM as
-            # [nblk, 10, 4*TB] / [nblk, ATTR, TB] arrays DMA'd through a
-            # double-buffered VMEM scratch, one block ahead of compute
-            uni, tri_aabb, tri_b, tri_attr = refs[:4]
-            outs = refs[4:]
+            # triangle scenes: AABBs in SMEM (per-block slab tests) AND
+            # as a [8, NBP] VMEM table (the vectorized all-blocks cull
+            # behind the compacted hit-block list); matmul blocks +
+            # attrs in VMEM, or (stream mode, > TRI_MAX_TRIANGLES) in
+            # HBM as [nblk, 10, 4*TB] / [nblk, ATTR, TB] arrays DMA'd
+            # through a double-buffered VMEM scratch, one block ahead
+            # of compute
+            uni, tri_aabb, tri_aabb_v, tri_b, tri_attr = refs[:5]
+            outs = refs[5:]
         else:
             uni = refs[0]
-            tri_aabb = tri_b = tri_attr = None
+            tri_aabb = tri_aabb_v = tri_b = tri_attr = None
             outs = refs[1:]
         tri_buf_b = tri_buf_attr = tri_sem = None
         if nblk and stream:
@@ -1000,6 +1018,63 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
             return (tmx >= tmn) & (tmx >= 0) & act
 
+        # compacted hit-block list (r5, VERDICT r4 item 2): ONE
+        # vectorized slab pass over ALL blocks at once (blocks on the
+        # sublane dim as [NBP, 1] columns from the [NBP, 8] VMEM AABB
+        # table, rays broadcast as [1, L] rows) replaces the per-block
+        # mask + cond machinery, so a sweep pays one scalar sync per
+        # HIT block instead of one per block (and none of the
+        # [S, W]-wide mask arithmetic for missed blocks).  Non-streamed
+        # tables only: the streamed path's DMA chain wants contiguous
+        # block segments.
+        NBP = -(-nblk // 8) * 8 if nblk else 0
+        use_compact = _TRI_COMPACT and _TRI_CULL and nblk and not stream
+
+        def tri_hit_bits(o3, inv3, act, bound, inflate=None):
+            """[NBP, 1] per-block any-lane-hit bits: the whole-tile
+            slab test of tri_cull_mask vectorized over blocks.  One
+            [NBP, L] pass per sublane row (Mosaic cannot reshape a ray
+            tile to a [S*L, 1] column, so rays stay [1, L] rows and
+            blocks broadcast down sublanes); padded block entries carry
+            lo=+INF / hi=-INF and never hit."""
+            hits = jnp.zeros((NBP, 1), jnp.bool_)
+            los = [tri_aabb_v[:, k:k + 1] for k in range(3)]
+            his = [tri_aabb_v[:, k + 3:k + 4] for k in range(3)]
+            if inflate is not None:
+                los = [lo - inflate for lo in los]
+                his = [hi + inflate for hi in his]
+            for s in range(SUBLANES):
+                tmn = jnp.zeros((NBP, LANES), F32)
+                tmx = jnp.broadcast_to(bound[s:s + 1, :], (NBP, LANES))
+                for k in range(3):
+                    t0 = (los[k] - o3[k][s:s + 1, :]) \
+                        * inv3[k][s:s + 1, :]
+                    t1 = (his[k] - o3[k][s:s + 1, :]) \
+                        * inv3[k][s:s + 1, :]
+                    tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                    tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                hit = (tmx >= tmn) & (tmx >= 0) & act[s:s + 1, :]
+                hits = hits | jnp.any(hit, axis=1, keepdims=True)
+            return hits
+
+        def tri_hit_list(hits):
+            """(count, pos): hit count and [NBP, 1] prefix-sum
+            positions for the compacted sweep loop (position j's block
+            id is recovered by a masked reduce per iteration — scalar
+            extraction from a dynamic index is cheaper as one [NBP, 1]
+            reduce than an SMEM round-trip).  Non-hit blocks get pos 0
+            so position j+1 matches exactly one entry.  The prefix sum
+            runs as one [NBP, NBP] lower-triangular-ones matmul (Mosaic
+            has no cumsum lowering; counts <= nblk are exact in f32)."""
+            hf = hits.astype(F32)
+            ir = jax.lax.broadcasted_iota(I32, (NBP, NBP), 0)
+            ic2 = jax.lax.broadcasted_iota(I32, (NBP, NBP), 1)
+            pos = jax.lax.dot_general(
+                (ic2 <= ir).astype(F32), hf, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32)
+            return (jnp.sum(hits.astype(I32)),
+                    jnp.where(hits, pos.astype(I32), 0))
+
         # superblock cull applies on BOTH table modes when there is more
         # than one superblock to skip (round-5: the streamed path's DMA
         # chain is driven per-superblock, so missed superblocks skip
@@ -1008,7 +1083,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         use_sb = _TRI_CULL and nblk > TRI_SB
 
         def tri_sweep(body, init, o3, inv3, act_of, bound_of,
-                      level0=True):
+                      level0=True, hitlist=None):
             """Run per-block ``body(b, slot, carry)`` over the nblk
             blocks under a three-level AABB cull:
 
@@ -1027,7 +1102,25 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             conservative).  Streamed DMA double-buffering is driven
             here: block b+1's copies start before block b's are waited,
             chained within the visited segment (the first block of each
-            segment pays one exposed ~90 KB copy)."""
+            segment pays one exposed ~90 KB copy).
+
+            ``hitlist``: optional (count, pos) from tri_hit_list — the
+            compacted path: loop count iterations, recover block id j
+            by masked reduce, run body (whose own cull cond still
+            rechecks against the CURRENT carry, preserving the dynamic
+            running-best / blocked-lane shrink the precomputed list
+            cannot see).  Identical results to the level-1/2 path: the
+            list is a superset of the blocks whose body cond would have
+            fired (same slab test, initial bounds)."""
+            if hitlist is not None:
+                count, pos = hitlist
+                biota = jax.lax.broadcasted_iota(I32, (NBP, 1), 0)
+
+                def cloop(j, c):
+                    b = jnp.sum(jnp.where(pos == j + 1, biota, 0))
+                    return body(b, b, c)
+
+                return jax.lax.fori_loop(0, count, cloop, init)
             if nblk and stream:
                 def seg_loop(b0, b1, c):
                     tri_stream_start(b0)
@@ -1174,8 +1267,13 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 featg_cell[:] = [
                     jnp.concatenate(feats[g:g + G], axis=1)
                     for g in range(0, SUBLANES, G)]
+                hl = None
+                if use_compact:
+                    hl = tri_hit_list(tri_hit_bits(
+                        (px, py, pz), inv3, act, cbound(c)))
                 return tri_sweep(body, c, (px, py, pz), inv3,
-                                 lambda c2: act, cbound, level0=False)
+                                 lambda c2: act, cbound, level0=False,
+                                 hitlist=hl)
 
             if _TRI_CULL:
                 hit0 = jnp.any(tri_cull_mask(
@@ -1193,7 +1291,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
 
         def tri_feeler_multi(px, py, pz, queries, act, pre_bl=None,
-                             precull=None):
+                             precull=None, gate_q=None):
             """ALL shadow-feeler queries of a shading step in ONE block
             sweep — the triangle extension of testShadowPath
             (primitives.cl:396-442), batched over the nl * n_samples
@@ -1225,7 +1323,15 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             segment lies inside that capsule) gates the ENTIRE feeler
             sweep including the [S, Q*L] query-batch construction — at
             4K most (tile, step) shades end at those nl cheap [S, L]
-            masks (r5)."""
+            masks (r5).
+
+            ``gate_q``: queries per gate group (the caller passes
+            n_samples so each gate is one light).  Inside a hit block,
+            each (sublane group, light) pair's matmul+epilogue chunk
+            runs under its own cond on that light's mask columns — a
+            tile in light A's mesh shadow no longer pays B and C's
+            pair sums (the dominant 4K case: floor tiles sweep for the
+            one light whose capsule their shadow region crosses)."""
             Q = len(queries)
             if Q == 0:
                 return [], []
@@ -1255,6 +1361,32 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             def fact(carry):
                 return cell["actQ"] & (carry[0] < 0.5)
 
+            def body_nocond(b, slot, carry):
+                bl_c, cnt_c = carry
+                if tri_opaque:
+                    blk, _ = tri_load(b, slot, attrs=False)
+                    wop = None
+                else:
+                    blk, attr_blk = tri_load(b, slot)
+                    tr = tri_transp_col(attr_blk)
+                    wop = jnp.where(tr > 0.5, 1.0, np.float32(2.0 * TB))
+                rows = []
+                for s in range(SUBLANES):
+                    sums = []
+                    for q0 in range(0, Q, TRI_FEELER_QCH):
+                        q1 = min(q0 + TRI_FEELER_QCH, Q)
+                        sl = slice(q0 * LANES, q1 * LANES)
+                        sums.append(tri_pair_sum(
+                            blk, cell["featQ_s"][s][:, sl],
+                            cell["tmaxQ"][s:s + 1, sl], wop))
+                    rows.append(jnp.concatenate(sums, axis=1))
+                sv = jnp.concatenate(rows, axis=0)
+                if tri_opaque:
+                    return jnp.maximum(bl_c, sv), cnt_c
+                wtb = np.float32(2.0 * TB)
+                return (jnp.maximum(bl_c, (sv >= wtb).astype(F32)),
+                        cnt_c + (sv - wtb * jnp.floor(sv / wtb)))
+
             def body(b, slot, carry):
                 # drop lanes already known blocked, so shadowed regions
                 # stop sweeping.  Two cull levels, one mask computation:
@@ -1264,6 +1396,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                 # matmul skipping pays for its 16 small branches
                 # (measured: tile-cond-only regressed 55->65 ms on
                 # stage 5; the hybrid is the fastest of the three)
+                if _TRI_FEELER_NOCOND:
+                    # experiment knob: every listed block runs every
+                    # sublane group unconditionally (no exact mask, no
+                    # conds) — attributes feeler time to matmul vs
+                    # mask/cond machinery
+                    return body_nocond(b, slot, carry)
                 act_dyn = fact(carry)
                 mask = tri_cull_mask(b * np.int32(6), cell["oQ"],
                                      cell["invQ"], act_dyn,
@@ -1280,24 +1418,31 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                         wop = jnp.where(tr > 0.5, 1.0,
                                         np.float32(2.0 * TB))
                     FG = TRI_FGROUP
+                    # gate granularity: one light's sample columns per
+                    # cond (gate_q), or the whole batch when ungated
+                    GQ = gate_q if gate_q else Q
+                    ngate = Q // GQ
 
-                    def sgroup(g):
-                        """(bl, cn) [FG, Q*L] for sublanes [g, g+FG) —
-                        per-sublane pair matmuls back to back under ONE
-                        branch (the scalar sync per cond, not the
-                        matmul, is what grouping amortizes)."""
+                    def sgate(g, gi):
+                        """(bl, cn) [FG, GQ*L] for sublanes [g, g+FG)
+                        x queries [gi*GQ, (gi+1)*GQ) — per-sublane pair
+                        matmuls back to back under ONE branch (the
+                        scalar sync per cond, not the matmul, is what
+                        grouping amortizes)."""
                         rows = []
                         for i in range(FG):
                             s = g + i
                             sums = []
-                            for q0 in range(0, Q, TRI_FEELER_QCH):
-                                q1 = min(q0 + TRI_FEELER_QCH, Q)
+                            for q0 in range(gi * GQ, (gi + 1) * GQ,
+                                            TRI_FEELER_QCH):
+                                q1 = min(q0 + TRI_FEELER_QCH,
+                                         (gi + 1) * GQ)
                                 sl = slice(q0 * LANES, q1 * LANES)
                                 sums.append(tri_pair_sum(
                                     blk, cell["featQ_s"][s][:, sl],
                                     cell["tmaxQ"][s:s + 1, sl], wop))
                             rows.append(jnp.concatenate(sums, axis=1))
-                        sv = jnp.concatenate(rows, axis=0)   # [FG, Q*L]
+                        sv = jnp.concatenate(rows, axis=0)  # [FG, GQ*L]
                         if tri_opaque:
                             return sv, jnp.zeros_like(sv)
                         wtb = np.float32(2.0 * TB)
@@ -1306,19 +1451,25 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
                     bl_rows, cnt_rows = [], []
                     for g in range(0, SUBLANES, FG):
-                        blc_g = bl_c[g:g + FG, :]
-                        cnt_g = cnt_c[g:g + FG, :]
-                        if _TRI_CULL:
-                            bl_g, cn_g = jax.lax.cond(
-                                jnp.any(mask[g:g + FG, :]),
-                                lambda _, g=g: sgroup(g),
-                                lambda _: (jnp.zeros((FG, Q * LANES), F32),
-                                           jnp.zeros((FG, Q * LANES), F32)),
-                                0)
-                        else:
-                            bl_g, cn_g = sgroup(g)
-                        bl_rows.append(jnp.maximum(blc_g, bl_g))
-                        cnt_rows.append(cnt_g + cn_g)
+                        bl_parts, cn_parts = [], []
+                        for gi in range(ngate):
+                            slg = slice(gi * GQ * LANES,
+                                        (gi + 1) * GQ * LANES)
+                            if _TRI_CULL:
+                                bl_g, cn_g = jax.lax.cond(
+                                    jnp.any(mask[g:g + FG, slg]),
+                                    lambda _, g=g, gi=gi: sgate(g, gi),
+                                    lambda _: (
+                                        jnp.zeros((FG, GQ * LANES), F32),
+                                        jnp.zeros((FG, GQ * LANES), F32)),
+                                    0)
+                            else:
+                                bl_g, cn_g = sgate(g, gi)
+                            bl_parts.append(jnp.maximum(
+                                bl_c[g:g + FG, slg], bl_g))
+                            cn_parts.append(cnt_c[g:g + FG, slg] + cn_g)
+                        bl_rows.append(jnp.concatenate(bl_parts, axis=1))
+                        cnt_rows.append(jnp.concatenate(cn_parts, axis=1))
                     return (jnp.concatenate(bl_rows, axis=0),
                             jnp.concatenate(cnt_rows, axis=0))
 
@@ -1339,23 +1490,39 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     [b.astype(F32) for b in pre_bl], axis=1)
             init = (bl0, jnp.zeros((SUBLANES, Q * LANES), F32))
 
+            # a lane is live if any of its queries is unblocked
+            if pre_bl is None:
+                live = act
+            else:
+                all_bl = pre_bl[0]
+                for bq in pre_bl[1:]:
+                    all_bl = all_bl & bq
+                live = act & ~all_bl
+
             def run(c):
                 build_batch()
+                hl = None
+                if use_compact and precull is not None:
+                    # per-light capsule hit bits per BLOCK: a
+                    # conservative superset of every sample segment's
+                    # blocks (each lies inside the center segment
+                    # Minkowski-summed with the light ball); only
+                    # sweeps that passed the cheap whole-mesh gate
+                    # below pay this [S*L, NBP] pass
+                    hits = None
+                    for (sdx, sdy, sdz, dist, lrad) in precull:
+                        hb = tri_hit_bits((px, py, pz),
+                                          tri_inv3((sdx, sdy, sdz)),
+                                          live, dist, inflate=lrad)
+                        hits = hb if hits is None else (hits | hb)
+                    hl = tri_hit_list(hits)
                 return tri_sweep(body, c, cell["oQ"], cell["invQ"],
                                  fact, lambda c2: cell["tmaxQ"],
-                                 level0=False)
+                                 level0=False, hitlist=hl)
 
             if _TRI_CULL and precull is not None:
                 # per-light capsule precull vs the whole-mesh AABB
                 sc_off = np.int32((nblk + nsb) * 6)
-                # a lane is live if any of its queries is unblocked
-                if pre_bl is None:
-                    live = act
-                else:
-                    all_bl = pre_bl[0]
-                    for bq in pre_bl[1:]:
-                        all_bl = all_bl & bq
-                    live = act & ~all_bl
                 hit0 = jnp.zeros((SUBLANES, LANES), jnp.bool_)
                 for (sdx, sdy, sdz, dist, lrad) in precull:
                     invL = tri_inv3((sdx, sdy, sdz))
@@ -1685,15 +1852,26 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     # samples blocked (ssr contribution 0 — identical
                     # image either way) drops the lane from every
                     # feeler cull level; on meshes roughly half the hit
-                    # points face away from any given light
+                    # points face away from any given light.
+                    #
+                    # RECORD mode gates on GEOMETRY only: where n.l <= 0
+                    # the diffuse grad carries the ndl factor (exactly
+                    # 0), but a lane dead only because diffuse == 0 has
+                    # a real d(image)/d(diffuse) — forcing its recorded
+                    # ssr to 0 zeroed glass-sphere material grads in the
+                    # replay (caught by the scan-tracer grad oracle, r5)
                     hx_c, hy_c, hz_c = _normalize(
                         vx_ + sdx_c, vy_ + sdy_c, vz_ + sdz_c)
-                    diff_dead = (_dot(nx, nyv, nz, sdx_c, sdy_c, sdz_c)
-                                 <= 0.0) | (m["diffuse"] <= 0.0)
-                    spec_dead = (m["specular"] <= 0.0) \
-                        | ((_dot(nx, nyv, nz, hx_c, hy_c, hz_c) <= 0.0)
-                           & (m["shininess"] > 0.0))
-                    dead_l = diff_dead & spec_dead
+                    geo_diff_dead = _dot(nx, nyv, nz,
+                                         sdx_c, sdy_c, sdz_c) <= 0.0
+                    geo_spec_dead = (
+                        (_dot(nx, nyv, nz, hx_c, hy_c, hz_c) <= 0.0)
+                        & (m["shininess"] > 0.0))
+                    if record:
+                        dead_l = geo_diff_dead & geo_spec_dead
+                    else:
+                        dead_l = (geo_diff_dead | (m["diffuse"] <= 0.0)) \
+                            & ((m["specular"] <= 0.0) | geo_spec_dead)
                     for _ in range(n_samples):
                         rng, r1 = _xorshift32(rng)
                         theta = two_pi * r1
@@ -1728,7 +1906,8 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     t_bls, t_ops = tri_feeler_multi(phx, phy, phz,
                                                     queries, is_solid,
                                                     pre_bl=sp_bl,
-                                                    precull=precull)
+                                                    precull=precull,
+                                                    gate_q=n_samples)
                     sp_bl = [b | tb for b, tb in zip(sp_bl, t_bls)]
                     sp_op = [o * to for o, to in zip(sp_op, t_ops)]
                 # pass 2: per-light soft ratios + Phong
@@ -2030,9 +2209,26 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
     if tri:
         # SMEM AABB table: per-block entries then the superblock unions
         # (tri_cull_mask indexes superblock s at nblk*6 + s*6)
-        _cat = (np.concatenate if isinstance(tri.aabb, np.ndarray)
-                else jnp.concatenate)
-        aabb_smem = _cat([tri.aabb, tri.sb_aabb, tri.sc_aabb])
+        xp = np if isinstance(tri.aabb, np.ndarray) else jnp
+        aabb_smem = xp.concatenate([tri.aabb, tri.sb_aabb, tri.sc_aabb])
+        # the same per-block bounds as a [NBP, 8] VMEM table (blocks on
+        # the sublane dim, cols lo.xyz ++ hi.xyz ++ 2 pad) for the
+        # vectorized all-blocks cull behind the compacted hit list.
+        # Padded blocks carry lo = hi = +INF: every axis interval is
+        # then a single (+/-INF, +/-INF) point whose slab test fails for
+        # either direction sign.  (lo=+INF/hi=-INF does NOT work: a
+        # negative-direction axis flips it into (-INF, +INF) and pad
+        # blocks "hit" every tile — caught on hardware as out-of-range
+        # block ids sweeping garbage triangles.)
+        nbp = -(-tri.nblk // 8) * 8
+        pad = nbp - tri.nblk
+        a8 = xp.concatenate(
+            [tri.aabb.reshape(tri.nblk, 6),
+             xp.zeros((tri.nblk, 2), np.float32)], axis=1)
+        padrow = xp.concatenate(
+            [xp.full((pad, 6), np.float32(np.inf), np.float32),
+             xp.zeros((pad, 2), np.float32)], axis=1)
+        aabb_v = xp.concatenate([a8, padrow], axis=0)
     if tri and stream:
         # contiguous per-block layout so each DMA is one dense copy
         nb = tri.nblk
@@ -2043,15 +2239,17 @@ def _pallas_forward(scene: Scene, assets: SceneAssets,
             [b3, np.zeros((nb, 6, 4 * tb), np.float32)], axis=1)             if isinstance(b3, np.ndarray) else jnp.concatenate(
                 [b3, jnp.zeros((nb, 6, 4 * tb), F32)], axis=1)
         a3 = tri.attr.reshape(TRI_ATTR_ROWS, nb, tb).transpose(1, 0, 2)
-        inputs = (uni, aabb_smem, b3, a3)
+        inputs = (uni, aabb_smem, aabb_v, b3, a3)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY)]
     elif tri:
-        inputs = (uni, aabb_smem, tri.b_lhs, tri.attr)
+        inputs = (uni, aabb_smem, aabb_v, tri.b_lhs, tri.attr)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
     else:
@@ -2181,9 +2379,14 @@ def _resolve_events(c_blk, ev_idx, ev_w, over, atlas, gx, gy, K,
         element gather (tested vs the XLA tracer and the golden image).
         """
         ic = jnp.clip(idx, 0, None)
-        rows = jnp.take(arows, ic >> 6, axis=0)          # [..., 64]
-        texel = jnp.where(lane64 == (ic & 63)[..., None], rows, 0) \
-            .sum(axis=-1)
+        if int(np.prod(idx.shape)) < ELEM_GATHER_MAX:
+            # small resolve: flat element gather (~7 ns/element) — the
+            # row fast path needs >= GATHER_FAST_ELEMS to pay off
+            texel = jnp.take(arows.reshape(-1), ic)
+        else:
+            rows = jnp.take(arows, ic >> 6, axis=0)      # [..., 64]
+            texel = jnp.where(lane64 == (ic & 63)[..., None], rows, 0) \
+                .sum(axis=-1)
         scale = jnp.where(idx >= 0, w, 0.0) / F32(255.0)
         # NOTE: keep the consumers of ``texel`` plain same-shape
         # elementwise ops — broadcasting a stacked [3, ...] channel axis

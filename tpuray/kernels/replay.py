@@ -213,7 +213,7 @@ def replay_render(scene: Scene, assets: SceneAssets,
             # stacks pc_refl only).  So the common case is a direct read
             # of bufs[s-1], and only popped reflect children need the
             # masked one-hot sum — over the 8-wide reflect half and
-    	    # slots <= s-2.  (One-hot sum, not take_along_axis: per-
+            # slots <= s-2.  (One-hot sum, not take_along_axis: per-
             # pixel dynamic gathers cost ~7 ns/element on TPU; the
             # masked sum is pure VPU work.  This replaced a full-width
             # sum over ALL earlier slots: O(Krec^2) 16-wide adds, ~2x
@@ -473,7 +473,8 @@ def _batched_texel_sum(atlas, idx, w):
     the DMA fast-path cliff, consumers kept plain same-shape elementwise
     (a stacked channel axis knocks the gather off the fast path).
     """
-    from .pallas_trace import GATHER_FAST_ELEMS, GATHER_PAD_MIN
+    from .pallas_trace import (ELEM_GATHER_MAX, GATHER_FAST_ELEMS,
+                               GATHER_PAD_MIN)
     nf, n_pix = idx.shape
     flat_i = idx.reshape(-1)
     flat_w = w.reshape(-1)
@@ -483,10 +484,16 @@ def _batched_texel_sum(atlas, idx, w):
         flat_i = jnp.concatenate(
             [flat_i, jnp.full((pad,), -1, flat_i.dtype)])
         flat_w = jnp.concatenate([flat_w, jnp.zeros((pad,), F32)])
-    lane64 = jnp.arange(64, dtype=jnp.int32)
     ic = jnp.clip(flat_i, 0, None)
-    rows = jnp.take(atlas.rows, ic >> 6, axis=0)          # [N, 64]
-    texel = jnp.where(lane64 == (ic & 63)[:, None], rows, 0).sum(axis=-1)
+    if n < ELEM_GATHER_MAX:
+        # small resolve: flat element gather beats the row fast path
+        # (see pallas_trace.ELEM_GATHER_MAX)
+        texel = jnp.take(atlas.rows.reshape(-1), ic)
+    else:
+        lane64 = jnp.arange(64, dtype=jnp.int32)
+        rows = jnp.take(atlas.rows, ic >> 6, axis=0)      # [N, 64]
+        texel = jnp.where(lane64 == (ic & 63)[:, None], rows,
+                          0).sum(axis=-1)
     scale = jnp.where(flat_i >= 0, flat_w, 0.0) / F32(255.0)
     r = scale * ((texel >> 16) & 0xFF).astype(F32)
     g = scale * ((texel >> 8) & 0xFF).astype(F32)
