@@ -316,6 +316,10 @@ _TRI_COMPACT = int(os.environ.get("TPURAY_TRI_COMPACT", "1"))
 # experiment: feeler blocks run all sublane groups unconditionally
 # (skips the exact per-block mask + per-group conds; same results)
 _TRI_FEELER_NOCOND = int(os.environ.get("TPURAY_TRI_FEELER_NOCOND", "0"))
+# experiment: closest sweep trusts the compacted hit list and skips the
+# per-block running-best recheck cond (same results, possibly more work)
+_TRI_CLOSEST_NORECHECK = int(
+    os.environ.get("TPURAY_TRI_CLOSEST_NORECHECK", "0"))
 
 
 class TriBlocks(NamedTuple):
@@ -1055,7 +1059,13 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
                 hit = (tmx >= tmn) & (tmx >= 0) & act[s:s + 1, :]
                 hits = hits | jnp.any(hit, axis=1, keepdims=True)
-            return hits
+            # explicit pad-block mask: the lo=hi=+INF pad rows still
+            # "hit" a degenerate lane whose slab points coincide on all
+            # axes (zero-padded rays: o=0, d=0 -> identical +INF points,
+            # INF >= INF).  An index test is robust against any such
+            # coincidence
+            return hits & (jax.lax.broadcasted_iota(I32, (NBP, 1), 0)
+                           < nblk)
 
         def tri_hit_list(hits):
             """(count, pos): hit count and [NBP, 1] prefix-sum
@@ -1249,7 +1259,12 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                             jnp.concatenate(lb_rows, axis=0),
                             jnp.concatenate(w_rows, axis=0))
 
-                if _TRI_CULL:
+                if _TRI_CULL and not (use_compact and _TRI_CLOSEST_NORECHECK):
+                    # per-block recheck against the CURRENT carry — its
+                    # value over the precomputed hit list is the
+                    # running-best shrink (earlier hits cull later
+                    # blocks).  TPURAY_TRI_CLOSEST_NORECHECK=1 drops it
+                    # to measure what that shrink is worth.
                     return jax.lax.cond(
                         tri_cull_tile(b * np.int32(6), (px, py, pz), inv3,
                                       act, bound),
@@ -2638,8 +2653,9 @@ def _make_query_kernel(nblk: int, nsb: int, tb: int, mode: str,
     TB = tb
     G = TRI_CGROUP
     INF = np.float32(np.inf)
+    NBP = -(-nblk // 8) * 8 if nblk else 0
 
-    def kernel(aabb, tri_b, tri_attr, rays, *outs):
+    def kernel(aabb, aabb_v, tri_b, tri_attr, rays, *outs):
         def comp(i):
             return rays[pl.ds(i * SUBLANES, SUBLANES), :]
 
@@ -2819,8 +2835,52 @@ def _make_query_kernel(nblk: int, nsb: int, tb: int, mode: str,
                 b0, b1, lambda b, c2: body(b, b, c2), c)
 
         use_sb = _TRI_CULL and nblk > TRI_SB
+        use_compact = _TRI_COMPACT and _TRI_CULL and nblk
+
+        def hit_list():
+            """Compacted hit-block list (same construction as the
+            megakernel's tri_hit_bits/tri_hit_list): one vectorized
+            all-blocks slab pass, then positions via a triangular-ones
+            matmul.  body's own cull cond still rechecks against the
+            running carry."""
+            hits = jnp.zeros((NBP, 1), jnp.bool_)
+            los = [aabb_v[:, k:k + 1] for k in range(3)]
+            his = [aabb_v[:, k + 3:k + 4] for k in range(3)]
+            for s in range(SUBLANES):
+                tmn = jnp.zeros((NBP, LANES), F32)
+                tmx = jnp.broadcast_to(bound0[s:s + 1, :], (NBP, LANES))
+                for k in range(3):
+                    t0 = (los[k] - o3[k][s:s + 1, :]) \
+                        * inv3[k][s:s + 1, :]
+                    t1 = (his[k] - o3[k][s:s + 1, :]) \
+                        * inv3[k][s:s + 1, :]
+                    tmn = jnp.maximum(tmn, jnp.minimum(t0, t1))
+                    tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+                hit = (tmx >= tmn) & (tmx >= 0) & act[s:s + 1, :]
+                hits = hits | jnp.any(hit, axis=1, keepdims=True)
+            # explicit pad-block mask (see tri_hit_bits: zero-padded
+            # rays coincide on all axes and "hit" the +INF pad rows)
+            hits = hits & (jax.lax.broadcasted_iota(I32, (NBP, 1), 0)
+                           < nblk)
+            hf = hits.astype(F32)
+            ir = jax.lax.broadcasted_iota(I32, (NBP, NBP), 0)
+            ic2 = jax.lax.broadcasted_iota(I32, (NBP, NBP), 1)
+            pos = jax.lax.dot_general(
+                (ic2 <= ir).astype(F32), hf, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32)
+            return (jnp.sum(hits.astype(I32)),
+                    jnp.where(hits, pos.astype(I32), 0))
 
         def run_all(c):
+            if use_compact:
+                count, pos = hit_list()
+                biota = jax.lax.broadcasted_iota(I32, (NBP, 1), 0)
+
+                def cloop(j, c2):
+                    b = jnp.sum(jnp.where(pos == j + 1, biota, 0))
+                    return body(b, b, c2)
+
+                return jax.lax.fori_loop(0, count, cloop, c)
             if not use_sb:
                 return seg_loop(np.int32(0), np.int32(nblk), c)
 
@@ -2879,9 +2939,19 @@ def _query_rays(tri: TriBlocks, o, d, tmax=None, inclusive=False,
     rays = packed.reshape(rows, n_t, SUBLANES, LANES).transpose(1, 0, 2, 3) \
         .reshape(n_t, rows * SUBLANES, LANES)
 
-    _cat = (np.concatenate if isinstance(tri.aabb, np.ndarray)
-            else jnp.concatenate)
-    aabb_smem = _cat([tri.aabb, tri.sb_aabb, tri.sc_aabb])
+    xp = np if isinstance(tri.aabb, np.ndarray) else jnp
+    aabb_smem = xp.concatenate([tri.aabb, tri.sb_aabb, tri.sc_aabb])
+    # [NBP, 8] VMEM AABB table for the compacted hit list (same
+    # construction + lo=hi=+INF padding as _pallas_forward)
+    nbp = -(-tri.nblk // 8) * 8
+    pad = nbp - tri.nblk
+    aabb_v = xp.concatenate(
+        [xp.concatenate(
+            [tri.aabb.reshape(tri.nblk, 6),
+             xp.zeros((tri.nblk, 2), np.float32)], axis=1),
+         xp.concatenate(
+             [xp.full((pad, 6), np.float32(np.inf), np.float32),
+              xp.zeros((pad, 2), np.float32)], axis=1)], axis=0)
 
     kernel = _make_query_kernel(tri.nblk, tri.nsb, TRI_TB, mode,
                                 inclusive)
@@ -2890,6 +2960,7 @@ def _query_rays(tri: TriBlocks, o, d, tmax=None, inclusive=False,
         kernel,
         grid=(n_t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((None, rows * SUBLANES, LANES),
@@ -2901,7 +2972,7 @@ def _query_rays(tri: TriBlocks, o, d, tmax=None, inclusive=False,
         out_shape=[jax.ShapeDtypeStruct((n_t, SUBLANES, LANES), dt)
                    for dt in out_dtypes],
         interpret=interpret,
-    )(aabb_smem, tri.b_lhs, tri.attr, rays)
+    )(aabb_smem, aabb_v, tri.b_lhs, tri.attr, rays)
     a = outs[0].reshape(-1)[:p]
     b = outs[1].reshape(-1)[:p]
     if mode == "closest":
