@@ -1093,7 +1093,7 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
         use_sb = _TRI_CULL and nblk > TRI_SB
 
         def tri_sweep(body, init, o3, inv3, act_of, bound_of,
-                      level0=True, hitlist=None):
+                      level0=True, hitlist=None, live_of=None):
             """Run per-block ``body(b, slot, carry)`` over the nblk
             blocks under a three-level AABB cull:
 
@@ -1125,6 +1125,23 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
             if hitlist is not None:
                 count, pos = hitlist
                 biota = jax.lax.broadcasted_iota(I32, (NBP, 1), 0)
+
+                if live_of is not None:
+                    # early-out sweep: stop visiting blocks once the
+                    # carry says no live work remains (opaque feelers:
+                    # every sample blocked — the common fully-shadowed
+                    # case ends after the first few Morton-near blocks)
+                    def wcond(jc):
+                        j, c = jc
+                        return (j < count) & live_of(c)
+
+                    def wbody(jc):
+                        j, c = jc
+                        b = jnp.sum(jnp.where(pos == j + 1, biota, 0))
+                        return j + 1, body(b, b, c)
+
+                    return jax.lax.while_loop(
+                        wcond, wbody, (jnp.int32(0), init))[1]
 
                 def cloop(j, c):
                     b = jnp.sum(jnp.where(pos == j + 1, biota, 0))
@@ -1514,16 +1531,111 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
                     all_bl = all_bl & bq
                 live = act & ~all_bl
 
+            def light_body(i):
+                """Per-block body for light i's own compacted sweep:
+                the [S, GQ*L] column slice of the batch, a mask 1/nl
+                the width of the union sweep's, and ONE whole-slice
+                cond per block (plus per-group conds inside).  Lights
+                sweep independently — block b in light A's shadow
+                volume but not B's is visited once, with A-width work,
+                instead of once at full batch width with per-light
+                cond skips (r5, second feeler restructure)."""
+                GQ = gate_q
+                sl = slice(i * GQ * LANES, (i + 1) * GQ * LANES)
+                featQ_i = [cell["featQ_s"][s][:, sl]
+                           for s in range(SUBLANES)]
+                tmax_i = cell["tmaxQ"][:, sl]
+                oQ_i = tuple(v[:, sl] for v in cell["oQ"])
+                invQ_i = tuple(v[:, sl] for v in cell["invQ"])
+                actQ_i = cell["actQ"][:, sl]
+
+                def body_i(b, slot, carry):
+                    act_dyn = actQ_i & (carry[0] < 0.5)
+                    mask = tri_cull_mask(b * np.int32(6), oQ_i, invQ_i,
+                                         act_dyn, tmax_i)
+
+                    def hit_branch(c):
+                        bl_c, cnt_c = c                 # [S, GQ*L]
+                        if tri_opaque:
+                            blk, _ = tri_load(b, slot, attrs=False)
+                            wop = None
+                        else:
+                            blk, attr_blk = tri_load(b, slot)
+                            tr = tri_transp_col(attr_blk)
+                            wop = jnp.where(tr > 0.5, 1.0,
+                                            np.float32(2.0 * TB))
+                        FG = TRI_FGROUP
+
+                        def sg(g):
+                            rows = []
+                            for ii in range(FG):
+                                s = g + ii
+                                sums = []
+                                for q0 in range(0, GQ, TRI_FEELER_QCH):
+                                    q1 = min(q0 + TRI_FEELER_QCH, GQ)
+                                    qsl = slice(q0 * LANES, q1 * LANES)
+                                    sums.append(tri_pair_sum(
+                                        blk, featQ_i[s][:, qsl],
+                                        tmax_i[s:s + 1, qsl], wop))
+                                rows.append(jnp.concatenate(sums, axis=1))
+                            sv = jnp.concatenate(rows, axis=0)
+                            if tri_opaque:
+                                return sv, jnp.zeros_like(sv)
+                            wtb = np.float32(2.0 * TB)
+                            return ((sv >= wtb).astype(F32),
+                                    sv - wtb * jnp.floor(sv / wtb))
+
+                        bl_rows, cnt_rows = [], []
+                        for g in range(0, SUBLANES, FG):
+                            bl_g, cn_g = jax.lax.cond(
+                                jnp.any(mask[g:g + FG, :]),
+                                lambda _, g=g: sg(g),
+                                lambda _: (
+                                    jnp.zeros((FG, GQ * LANES), F32),
+                                    jnp.zeros((FG, GQ * LANES), F32)),
+                                0)
+                            bl_rows.append(jnp.maximum(
+                                bl_c[g:g + FG, :], bl_g))
+                            cnt_rows.append(cnt_c[g:g + FG, :] + cn_g)
+                        return (jnp.concatenate(bl_rows, axis=0),
+                                jnp.concatenate(cnt_rows, axis=0))
+
+                    return jax.lax.cond(jnp.any(mask), hit_branch,
+                                        lambda c: c, carry)
+
+                return body_i
+
+            per_light = (use_compact and precull is not None and gate_q
+                         and Q == len(precull) * gate_q)
+
             def run(c):
                 build_batch()
+                if per_light:
+                    GQ = gate_q
+                    bl_parts, cnt_parts = [], []
+                    for i, (sdx, sdy, sdz, dist, lrad) in \
+                            enumerate(precull):
+                        sl = slice(i * GQ * LANES, (i + 1) * GQ * LANES)
+                        hb = tri_hit_bits((px, py, pz),
+                                          tri_inv3((sdx, sdy, sdz)),
+                                          live, dist, inflate=lrad)
+                        actQ_i = cell["actQ"][:, sl]
+                        r = tri_sweep(light_body(i),
+                                      (c[0][:, sl], c[1][:, sl]),
+                                      cell["oQ"], cell["invQ"], fact,
+                                      lambda c2: cell["tmaxQ"],
+                                      level0=False,
+                                      hitlist=tri_hit_list(hb),
+                                      live_of=(lambda c2, a=actQ_i:
+                                               jnp.any(a & (c2[0] < 0.5))))
+                        bl_parts.append(r[0])
+                        cnt_parts.append(r[1])
+                    return (jnp.concatenate(bl_parts, axis=1),
+                            jnp.concatenate(cnt_parts, axis=1))
                 hl = None
                 if use_compact and precull is not None:
-                    # per-light capsule hit bits per BLOCK: a
-                    # conservative superset of every sample segment's
-                    # blocks (each lies inside the center segment
-                    # Minkowski-summed with the light ball); only
-                    # sweeps that passed the cheap whole-mesh gate
-                    # below pay this [S*L, NBP] pass
+                    # union capsule hit bits (fallback when queries are
+                    # not light-grouped)
                     hits = None
                     for (sdx, sdy, sdz, dist, lrad) in precull:
                         hb = tri_hit_bits((px, py, pz),
