@@ -1374,21 +1374,35 @@ def _make_kernel(lay: UniformLayout, atlas_meta: Tuple, cfg: RenderConfig,
 
             def build_batch():
                 # [S, Q*L] layout: query q occupies lane columns
-                # [q*L, (q+1)*L) of every sublane row
-                featQ_s = []
-                for s in range(SUBLANES):
-                    feats = [tri_features(s, px, py, pz, qx, qy, qz)
-                             for (qx, qy, qz, _) in queries]
-                    featQ_s.append(jnp.concatenate(feats, axis=1))
-                cell["featQ_s"] = featQ_s
+                # [q*L, (q+1)*L) of every sublane row.  Features are
+                # built WIDE-FIRST: concatenate o/d once on the lane
+                # dim, compute the cross products on the wide arrays,
+                # then assemble each sublane's [10, Q*L] feature matrix
+                # by cheap sublane-dim row concats — the old per-(s, q)
+                # tri_features + 16 Q-piece lane concats paid a Mosaic
+                # relayout per piece and dominated the per-sweep fixed
+                # cost (r5)
                 cell["tmaxQ"] = jnp.concatenate(
                     [t for (_, _, _, t) in queries], axis=1)  # [S, Q*L]
                 dQ = tuple(jnp.concatenate(
                     [q[k] for q in queries], axis=1) for k in range(3))
-                cell["oQ"] = tuple(jnp.concatenate([v] * Q, axis=1)
-                                   for v in (px, py, pz))
+                oQ = tuple(jnp.concatenate([v] * Q, axis=1)
+                           for v in (px, py, pz))
+                cell["oQ"] = oQ
                 cell["actQ"] = jnp.concatenate([act] * Q, axis=1)
                 cell["invQ"] = tri_inv3(dQ)
+                c1 = oQ[1] * dQ[2] - oQ[2] * dQ[1]
+                c2 = oQ[2] * dQ[0] - oQ[0] * dQ[2]
+                c3 = oQ[0] * dQ[1] - oQ[1] * dQ[0]
+                ones = jnp.ones((1, Q * LANES), F32)
+                cell["featQ_s"] = [
+                    jnp.concatenate(
+                        [oQ[0][s:s + 1, :], oQ[1][s:s + 1, :],
+                         oQ[2][s:s + 1, :], dQ[0][s:s + 1, :],
+                         dQ[1][s:s + 1, :], dQ[2][s:s + 1, :],
+                         c1[s:s + 1, :], c2[s:s + 1, :], c3[s:s + 1, :],
+                         ones], axis=0)
+                    for s in range(SUBLANES)]
 
             def fact(carry):
                 return cell["actQ"] & (carry[0] < 0.5)
