@@ -39,9 +39,12 @@ def measure(render_inner, scene, assets, basis, cfg, chain):
         return best
 
     per = (best_of(chain) - best_of(1)) / (chain - 1)
-    # sub-ms renders (stage 1) need a longer chain than the default 4
-    # for the slope to rise above timer jitter
-    if per * (chain - 1) < 0.01 and chain < 64:
+    # fast renders (stage 1 is sub-ms) need a longer chain than the
+    # default 4 for the slope to rise above timer jitter — a noisy
+    # chain-4 slope can read several ms high OR negative (the r5
+    # validate run measured 5.7 ms for a 0.7 ms render), so any
+    # sub-8ms estimate is re-measured at chain 64
+    if per < 8e-3 and chain < 64:
         for n in (1, 64):
             float(render_n(basis, n))
         per = (best_of(64) - best_of(1)) / 63
